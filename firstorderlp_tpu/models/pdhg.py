@@ -1,0 +1,812 @@
+"""Primal-dual hybrid gradient (PDHG / PDLP) solver, TPU-native.
+
+Reference semantics: src/primal_dual_hybrid_gradient.jl. The saddle-point
+problem, step rules, restart machinery and KKT-pass accounting are
+mathematically identical; the execution model is redesigned for TPU:
+
+- the problem and solver state are immutable pytrees on device,
+- each *segment* (one termination/restart evaluation + the take_steps up
+  to the next evaluation iteration) is a single jitted function with a
+  lax.while_loop over steps and bounded while_loops for the step-size
+  inner loops,
+- the host loop only schedules segments, records stats scalars, measures
+  wall-clock (feeding the device-side time-limit check), and prints.
+
+Step rules (tau = step/omega, sigma = step*omega; reference pdhg.jl:100-107):
+    x+ = proj_[l,u](x - tau (Qx + c - A'y))
+    y+ = proj_{>=0 on ineq}(y + sigma (b - A(2x+ - x)))
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..iteration_stats import (
+    display_iteration_stats,
+    display_iteration_stats_heading,
+    print_to_screen_this_iteration,
+    to_host_stats,
+)
+from ..preprocess import rescale_problem
+from ..problem import QuadraticProgrammingProblem, validate
+from ..ops.device_problem import DeviceScaledQp, to_device_scaled
+from ..saddle_point import (
+    RestartInfo,
+    RestartParameters,
+    SolutionWeightedAverage,
+    add_to_primal_solution_weighted_average,
+    add_to_solution_weighted_average,
+    compute_new_primal_weight,
+    create_last_restart_info,
+    initialize_solution_weighted_average,
+    project_dual,
+    project_primal,
+    run_restart_scheme,
+    unscaled_saddle_point_output,
+    update_objective_bound_estimates,
+    SaddlePointOutput,
+)
+from ..solve_log import PointType, RestartChoice, TerminationReason
+from ..termination import (
+    cached_quadratic_program_info,
+    validate_termination_criteria,
+    TerminationCriteria,
+)
+from .common import (
+    EvalResult,
+    HashableCriteria,
+    HashableQpCache,
+    estimate_maximum_singular_value,
+    evaluate_unscaled_stats,
+    initial_primal_weight_host,
+    matrix_inf_norm_entrywise,
+)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MalitskyPockStepsizeParameters:
+    """Reference: pdhg.jl:15-41."""
+
+    downscaling_factor: float
+    breaking_factor: float
+    interpolation_coefficient: float
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveStepsizeParams:
+    """Reference: pdhg.jl:43-63."""
+
+    reduction_exponent: float
+    growth_exponent: float
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstantStepsizeParams:
+    """Reference: pdhg.jl:65-68."""
+
+
+StepsizePolicy = Union[
+    MalitskyPockStepsizeParameters, AdaptiveStepsizeParams,
+    ConstantStepsizeParams,
+]
+
+
+@dataclasses.dataclass
+class PdhgParameters:
+    """Reference: pdhg.jl:70-199 plus TPU-specific knobs (dtype, matrix
+    layout)."""
+
+    l_inf_ruiz_iterations: int
+    l2_norm_rescaling: bool
+    pock_chambolle_alpha: Optional[float]
+    primal_importance: float
+    scale_invariant_initial_primal_weight: bool
+    verbosity: int
+    record_iteration_stats: bool
+    termination_evaluation_frequency: int
+    termination_criteria: TerminationCriteria
+    restart_params: RestartParameters
+    step_size_policy_params: StepsizePolicy
+    # TPU knobs (no reference counterpart):
+    dtype: str = "float64"
+    matrix_format: str = "auto"  # "auto" | "dense" | "ell"
+
+
+@dataclasses.dataclass(frozen=True)
+class _PdhgConfig:
+    """Hashable static configuration baked into the jitted segment."""
+
+    criteria: HashableCriteria
+    qp_cache: HashableQpCache
+    restart_params: RestartParameters
+    step_policy: StepsizePolicy
+    termination_evaluation_frequency: int
+
+
+# ---------------------------------------------------------------------------
+# Device state
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PdhgState:
+    """Reference: PdhgSolverState (pdhg.jl:201-258) + loop bookkeeping."""
+
+    current_primal_solution: jax.Array
+    current_dual_solution: jax.Array
+    delta_primal: jax.Array
+    delta_dual: jax.Array
+    current_dual_product: jax.Array  # cache of A' y
+    avg: SolutionWeightedAverage
+    restart_info: RestartInfo
+    step_size: jax.Array
+    primal_weight: jax.Array
+    numerical_error: jax.Array  # bool
+    cumulative_kkt_passes: jax.Array
+    total_number_iterations: jax.Array  # int64, includes inner iterations
+    ratio_step_sizes: jax.Array  # Malitsky-Pock only
+    iteration: jax.Array  # int64, outer iteration due for processing
+    termination_reason: jax.Array  # int32, 0 = running
+    avg_primal_out: jax.Array  # scaled-space candidate at last evaluation
+    avg_dual_out: jax.Array
+
+
+def _initial_state(bundle: DeviceScaledQp, dtype) -> PdhgState:
+    n = bundle.scaled.num_variables
+    m = bundle.scaled.num_constraints
+    zeros_n = jnp.zeros(n, dtype)
+    zeros_m = jnp.zeros(m, dtype)
+    return PdhgState(
+        current_primal_solution=zeros_n,
+        current_dual_solution=zeros_m,
+        delta_primal=zeros_n,
+        delta_dual=zeros_m,
+        current_dual_product=zeros_n,
+        avg=initialize_solution_weighted_average(n, m, dtype),
+        restart_info=create_last_restart_info(zeros_n, zeros_m),
+        step_size=jnp.asarray(0.0, dtype),
+        primal_weight=jnp.asarray(1.0, dtype),
+        numerical_error=jnp.asarray(False),
+        cumulative_kkt_passes=jnp.asarray(0.0, jnp.float64),
+        total_number_iterations=jnp.int64(0),
+        ratio_step_sizes=jnp.asarray(1.0, dtype),
+        iteration=jnp.int64(1),
+        termination_reason=jnp.int32(0),
+        avg_primal_out=zeros_n,
+        avg_dual_out=zeros_m,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step computations (device)
+# ---------------------------------------------------------------------------
+
+
+def _compute_next_primal(problem, x, dual_product, step_size, primal_weight):
+    """Reference: compute_next_primal_solution (pdhg.jl:442-470)."""
+    gradient = problem.qx(x) + problem.objective_vector - dual_product
+    return project_primal(x - (step_size / primal_weight) * gradient, problem)
+
+
+def _compute_next_dual(
+    problem, x, next_x, y, step_size, primal_weight,
+    extrapolation_coefficient=1.0,
+):
+    """Reference: compute_next_dual_solution (pdhg.jl:472-494)."""
+    extrapolated = next_x + extrapolation_coefficient * (next_x - x)
+    gradient = problem.right_hand_side - problem.ax(extrapolated)
+    next_y = project_dual(
+        y + (primal_weight * step_size) * gradient, problem
+    )
+    next_dual_product = problem.aty(next_y)
+    return next_y, next_dual_product
+
+
+def _accept_solution(state: PdhgState, next_x, next_y, next_aty) -> PdhgState:
+    """update_solution_in_solver_state (pdhg.jl:496-519): the averaging
+    weight is the step size held in the state at entry to take_step."""
+    weight = state.step_size
+    return dataclasses.replace(
+        state,
+        delta_primal=next_x - state.current_primal_solution,
+        delta_dual=next_y - state.current_dual_solution,
+        current_primal_solution=next_x,
+        current_dual_solution=next_y,
+        current_dual_product=next_aty,
+        avg=add_to_solution_weighted_average(
+            state.avg, next_x, next_y, weight
+        ),
+    )
+
+
+def _interaction_and_movement(problem, state, next_x, next_y, next_aty):
+    """Reference: compute_interaction_and_movement (pdhg.jl:521-549)."""
+    dx = next_x - state.current_primal_solution
+    dy = next_y - state.current_dual_solution
+    if problem.objective_matrix is None:
+        primal_objective_interaction = jnp.asarray(0.0, dx.dtype)
+    else:
+        primal_objective_interaction = 0.5 * jnp.sum(dx * problem.qx(dx))
+    primal_dual_interaction = jnp.sum(
+        dx * (next_aty - state.current_dual_product)
+    )
+    interaction = jnp.abs(primal_dual_interaction) + jnp.abs(
+        primal_objective_interaction
+    )
+    movement = 0.5 * state.primal_weight * jnp.sum(dx * dx) + (
+        0.5 / state.primal_weight
+    ) * jnp.sum(dy * dy)
+    return interaction, movement
+
+
+def _take_step_adaptive(
+    problem, state: PdhgState, params: AdaptiveStepsizeParams
+) -> PdhgState:
+    """PDLP adaptive step-size rule (reference pdhg.jl:649-731).
+
+    Inner accept/reject loop as a lax.while_loop; each trial costs one KKT
+    pass. Accept iff step_size <= movement / interaction.
+    """
+    zeros_x = jnp.zeros_like(state.current_primal_solution)
+    zeros_y = jnp.zeros_like(state.current_dual_solution)
+
+    Carry = lambda **kw: kw  # noqa: E731 - readable dict carries
+
+    def cond(c):
+        return ~c["done"] & ~c["numerical_error"]
+
+    def body(c):
+        total = c["total_number_iterations"] + 1
+        step_size = c["step_size"]
+        next_x = _compute_next_primal(
+            problem,
+            state.current_primal_solution,
+            state.current_dual_product,
+            step_size,
+            state.primal_weight,
+        )
+        next_y, next_aty = _compute_next_dual(
+            problem,
+            state.current_primal_solution,
+            next_x,
+            state.current_dual_solution,
+            step_size,
+            state.primal_weight,
+        )
+        interaction, movement = _interaction_and_movement(
+            problem, state, next_x, next_y, next_aty
+        )
+        kkt = c["cumulative_kkt_passes"] + 1.0
+        numerical_error = movement == 0.0
+        step_size_limit = jnp.where(
+            interaction > 0,
+            movement / jnp.where(interaction > 0, interaction, 1.0),
+            jnp.inf,
+        )
+        accept = (step_size <= step_size_limit) & ~numerical_error
+
+        total_f = total.astype(step_size.dtype)
+        first_term = (
+            1 - (total_f + 1.0) ** (-params.reduction_exponent)
+        ) * step_size_limit
+        second_term = (
+            1 + (total_f + 1.0) ** (-params.growth_exponent)
+        ) * step_size
+        new_step_size = jnp.where(
+            numerical_error, step_size, jnp.minimum(first_term, second_term)
+        )
+        return Carry(
+            step_size=new_step_size,
+            done=accept,
+            numerical_error=numerical_error,
+            total_number_iterations=total,
+            cumulative_kkt_passes=kkt,
+            next_x=next_x,
+            next_y=next_y,
+            next_aty=next_aty,
+        )
+
+    init = Carry(
+        step_size=state.step_size,
+        done=jnp.asarray(False),
+        numerical_error=jnp.asarray(False),
+        total_number_iterations=state.total_number_iterations,
+        cumulative_kkt_passes=state.cumulative_kkt_passes,
+        next_x=zeros_x,
+        next_y=zeros_y,
+        next_aty=zeros_x,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    accepted = _accept_solution(
+        state, final["next_x"], final["next_y"], final["next_aty"]
+    )
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(final["done"], a, b), accepted, state
+    )
+    return dataclasses.replace(
+        state,
+        step_size=final["step_size"],
+        numerical_error=final["numerical_error"],
+        total_number_iterations=final["total_number_iterations"],
+        cumulative_kkt_passes=final["cumulative_kkt_passes"],
+    )
+
+
+def _take_step_constant(
+    problem, state: PdhgState, params: ConstantStepsizeParams
+) -> PdhgState:
+    """Reference: pdhg.jl:733-767."""
+    next_x = _compute_next_primal(
+        problem,
+        state.current_primal_solution,
+        state.current_dual_product,
+        state.step_size,
+        state.primal_weight,
+    )
+    next_y, next_aty = _compute_next_dual(
+        problem,
+        state.current_primal_solution,
+        next_x,
+        state.current_dual_solution,
+        state.step_size,
+        state.primal_weight,
+    )
+    state = _accept_solution(state, next_x, next_y, next_aty)
+    return dataclasses.replace(
+        state,
+        cumulative_kkt_passes=state.cumulative_kkt_passes + 1.0,
+        total_number_iterations=state.total_number_iterations + 1,
+    )
+
+
+def _take_step_malitsky_pock(
+    problem, state: PdhgState, params: MalitskyPockStepsizeParameters
+) -> PdhgState:
+    """Malitsky-Pock linesearch, LP only (reference pdhg.jl:551-647).
+
+    The dual-side linesearch accepts iff
+    step_size ||A'(y+ - y)|| <= breaking_factor ||y+ - y||; at most 60
+    inner iterations, otherwise a numerical error is flagged.
+    """
+    entry_step = state.step_size
+    next_x = _compute_next_primal(
+        problem,
+        state.current_primal_solution,
+        state.current_dual_product,
+        entry_step,
+        state.primal_weight,
+    )
+    kkt0 = state.cumulative_kkt_passes + 0.5
+    step_size0 = entry_step + params.interpolation_coefficient * (
+        jnp.sqrt(1.0 + state.ratio_step_sizes) - 1.0
+    ) * entry_step
+
+    max_iter = 60
+
+    def cond(c):
+        return ~c["done"] & (c["iter"] < max_iter)
+
+    def body(c):
+        it = c["iter"] + 1
+        total = c["total_number_iterations"] + 1
+        ratio = c["step_size"] / entry_step
+        next_y, next_aty = _compute_next_dual(
+            problem,
+            state.current_primal_solution,
+            next_x,
+            state.current_dual_solution,
+            c["step_size"],
+            state.primal_weight,
+            extrapolation_coefficient=ratio,
+        )
+        delta_dual = next_y - state.current_dual_solution
+        delta_aty = next_aty - state.current_dual_product
+        kkt = c["cumulative_kkt_passes"] + 0.5
+        accept = c["step_size"] * jnp.sqrt(
+            jnp.sum(delta_aty * delta_aty)
+        ) <= params.breaking_factor * jnp.sqrt(jnp.sum(delta_dual * delta_dual))
+        new_step = jnp.where(
+            accept, c["step_size"], c["step_size"] * params.downscaling_factor
+        )
+        return dict(
+            step_size=new_step,
+            ratio=ratio,
+            done=accept,
+            iter=it,
+            total_number_iterations=total,
+            cumulative_kkt_passes=kkt,
+            next_y=next_y,
+            next_aty=next_aty,
+        )
+
+    init = dict(
+        step_size=step_size0,
+        ratio=state.ratio_step_sizes,
+        done=jnp.asarray(False),
+        iter=jnp.int64(0),
+        total_number_iterations=state.total_number_iterations,
+        cumulative_kkt_passes=kkt0,
+        next_y=jnp.zeros_like(state.current_dual_solution),
+        next_aty=jnp.zeros_like(state.current_primal_solution),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    accepted_flag = final["done"]
+
+    # Nonsymmetric averaging: the very first accepted step also adds the
+    # pre-step primal iterate with weight step_size * ratio (reference
+    # pdhg.jl:617-627).
+    avg_with_initial = add_to_primal_solution_weighted_average(
+        state.avg,
+        state.current_primal_solution,
+        final["step_size"] * final["ratio"],
+    )
+    use_initial = accepted_flag & (state.avg.sum_primal_solutions_count == 0)
+    pre_avg = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(use_initial, a, b), avg_with_initial, state.avg
+    )
+    state_with_avg = dataclasses.replace(state, avg=pre_avg)
+
+    accepted_state = _accept_solution(
+        state_with_avg, next_x, final["next_y"], final["next_aty"]
+    )
+    accepted_state = dataclasses.replace(
+        accepted_state,
+        step_size=final["step_size"],
+        ratio_step_sizes=final["ratio"],
+    )
+    # On failure (60 rejections): flag numerical error, leave iterates,
+    # step size and ratio unchanged (reference pdhg.jl:640-643).
+    failed_state = dataclasses.replace(state, numerical_error=jnp.asarray(True))
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accepted_flag, a, b),
+        accepted_state,
+        failed_state,
+    )
+    return dataclasses.replace(
+        state,
+        total_number_iterations=final["total_number_iterations"],
+        cumulative_kkt_passes=final["cumulative_kkt_passes"],
+    )
+
+
+def _take_step(problem, state: PdhgState, policy) -> PdhgState:
+    if isinstance(policy, AdaptiveStepsizeParams):
+        return _take_step_adaptive(problem, state, policy)
+    if isinstance(policy, MalitskyPockStepsizeParameters):
+        return _take_step_malitsky_pock(problem, state, policy)
+    return _take_step_constant(problem, state, policy)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation block and segment
+# ---------------------------------------------------------------------------
+
+KKT_PASSES_PER_TERMINATION_EVALUATION = 2.0
+
+
+def _is_eval_iteration(iteration, config: _PdhgConfig):
+    freq = config.termination_evaluation_frequency
+    return (
+        ((iteration - 1) % freq == 0)
+        | (iteration == config.criteria.iteration_limit + 1)
+        | (iteration <= 10)
+    )
+
+
+def _eval_block(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
+                config: _PdhgConfig):
+    criteria = config.criteria.to_criteria()
+    kkt = state.cumulative_kkt_passes + KKT_PASSES_PER_TERMINATION_EVALUATION
+
+    has_avg = (
+        ~state.numerical_error
+        & (state.avg.sum_primal_solutions_count > 0)
+        & (state.avg.sum_dual_solutions_count > 0)
+    )
+    avg_primal = jnp.where(
+        has_avg,
+        state.avg.sum_primal_solutions
+        / jnp.where(
+            state.avg.sum_primal_solution_weights > 0,
+            state.avg.sum_primal_solution_weights,
+            1.0,
+        ),
+        state.current_primal_solution,
+    )
+    avg_dual = jnp.where(
+        has_avg,
+        state.avg.sum_dual_solutions
+        / jnp.where(
+            state.avg.sum_dual_solution_weights > 0,
+            state.avg.sum_dual_solution_weights,
+            1.0,
+        ),
+        state.current_dual_solution,
+    )
+
+    conv, infeas, reason = evaluate_unscaled_stats(
+        bundle,
+        config.qp_cache,
+        criteria,
+        avg_primal,
+        avg_dual,
+        state.numerical_error,
+        state.iteration - 1,
+        kkt,
+        elapsed_time,
+    )
+
+    # define_norms (reference pdhg.jl:260-276).
+    primal_norm_params = (
+        (1.0 / state.step_size)
+        * state.primal_weight
+        * jnp.ones_like(state.current_primal_solution)
+    )
+    dual_norm_params = (
+        (1.0 / state.step_size)
+        / state.primal_weight
+        * jnp.ones_like(state.current_dual_solution)
+    )
+    lagrangian, est_lb, est_ub = update_objective_bound_estimates(
+        bundle.scaled, avg_primal, avg_dual, primal_norm_params,
+        dual_norm_params,
+    )
+
+    terminated = reason != 0
+
+    restart = run_restart_scheme(
+        bundle.scaled,
+        state.avg,
+        state.current_primal_solution,
+        state.current_dual_solution,
+        state.restart_info,
+        state.iteration - 1,
+        primal_norm_params,
+        dual_norm_params,
+        state.primal_weight,
+        config.restart_params,
+    )
+    restarted = restart.restart_choice != jnp.int32(
+        RestartChoice.RESTART_CHOICE_NO_RESTART
+    )
+    new_primal_weight = jnp.where(
+        restarted,
+        compute_new_primal_weight(
+            restart.restart_info,
+            state.primal_weight,
+            config.restart_params.primal_weight_update_smoothing,
+        ),
+        state.primal_weight,
+    )
+    new_ratio = jnp.where(restarted, 1.0, state.ratio_step_sizes)
+    reset_to_avg = restart.restart_choice == jnp.int32(
+        RestartChoice.RESTART_CHOICE_RESTART_TO_AVERAGE
+    )
+    new_dual_product = jnp.where(
+        reset_to_avg,
+        bundle.scaled.aty(restart.dual_solution),
+        state.current_dual_product,
+    )
+
+    post_restart = dataclasses.replace(
+        state,
+        current_primal_solution=restart.primal_solution,
+        current_dual_solution=restart.dual_solution,
+        avg=restart.avg,
+        restart_info=restart.restart_info,
+        primal_weight=new_primal_weight,
+        ratio_step_sizes=new_ratio,
+        current_dual_product=new_dual_product,
+    )
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(terminated, a, b), state, post_restart
+    )
+    new_state = dataclasses.replace(
+        new_state,
+        cumulative_kkt_passes=kkt,
+        termination_reason=reason,
+        avg_primal_out=avg_primal,
+        avg_dual_out=avg_dual,
+    )
+    result = EvalResult(
+        conv=conv,
+        infeas=infeas,
+        lagrangian_value=lagrangian,
+        estimated_lower_bound=est_lb,
+        estimated_upper_bound=est_ub,
+        termination_reason=reason,
+        restart_used=jnp.where(
+            terminated,
+            jnp.int32(RestartChoice.RESTART_CHOICE_UNSPECIFIED),
+            restart.restart_choice,
+        ),
+        iteration=state.iteration - 1,
+        cumulative_kkt_passes=kkt,
+        step_size=state.step_size,
+        primal_weight=state.primal_weight,
+    )
+    return new_state, result
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("state",)
+)
+def _run_segment(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
+                 config: _PdhgConfig):
+    state, result = _eval_block(bundle, state, elapsed_time, config)
+
+    def steps(state):
+        def body(s):
+            s = _take_step(bundle.scaled, s, config.step_policy)
+            return dataclasses.replace(s, iteration=s.iteration + 1)
+
+        def cond(s):
+            return ~s.numerical_error & ~_is_eval_iteration(
+                s.iteration, config
+            )
+
+        return jax.lax.while_loop(cond, body, body(state))
+
+    state = jax.lax.cond(
+        state.termination_reason != 0, lambda s: s, steps, state
+    )
+    return state, result
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+def optimize(
+    params: PdhgParameters, original_problem: QuadraticProgrammingProblem
+) -> SaddlePointOutput:
+    """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049)."""
+    validate(original_problem)
+    validate_termination_criteria(params.termination_criteria)
+    if params.primal_importance <= 0 or not np.isfinite(
+        params.primal_importance
+    ):
+        raise ValueError("primal_importance must be positive and finite")
+    if isinstance(
+        params.step_size_policy_params, MalitskyPockStepsizeParameters
+    ) and original_problem.objective_matrix.nnz > 0:
+        raise ValueError(
+            "Malitsky and Pock linesearch is only supported for linear"
+            " programming problems."
+        )
+
+    qp_cache = cached_quadratic_program_info(original_problem)
+    scaled_problem = rescale_problem(
+        params.l_inf_ruiz_iterations,
+        params.l2_norm_rescaling,
+        params.pock_chambolle_alpha,
+        params.verbosity,
+        original_problem,
+    )
+    dtype = jnp.dtype(params.dtype)
+    bundle = to_device_scaled(scaled_problem, dtype, params.matrix_format)
+
+    state = _initial_state(bundle, dtype)
+    cumulative_kkt_passes = 0.0
+    if isinstance(
+        params.step_size_policy_params,
+        (AdaptiveStepsizeParams, MalitskyPockStepsizeParameters),
+    ):
+        cumulative_kkt_passes += 0.5
+        inf_norm = matrix_inf_norm_entrywise(
+            scaled_problem.scaled_qp.constraint_matrix
+        )
+        step_size = 1.0 / inf_norm if inf_norm > 0 else 1.0
+    else:
+        desired_relative_error = 0.2
+        max_singular_value, num_iters = estimate_maximum_singular_value(
+            scaled_problem.scaled_qp.constraint_matrix,
+            probability_of_failure=0.001,
+            desired_relative_error=desired_relative_error,
+        )
+        step_size = (1.0 - desired_relative_error) / max_singular_value
+        cumulative_kkt_passes += num_iters
+
+    primal_weight = initial_primal_weight_host(
+        scaled_problem.scaled_qp,
+        params.primal_importance,
+        params.scale_invariant_initial_primal_weight,
+        params.verbosity,
+    )
+    state = dataclasses.replace(
+        state,
+        step_size=jnp.asarray(step_size, dtype),
+        primal_weight=jnp.asarray(primal_weight, dtype),
+        cumulative_kkt_passes=jnp.asarray(
+            cumulative_kkt_passes, jnp.float64
+        ),
+    )
+
+    config = _PdhgConfig(
+        criteria=HashableCriteria.from_criteria(params.termination_criteria),
+        qp_cache=HashableQpCache.from_cache(qp_cache),
+        restart_params=params.restart_params,
+        step_policy=params.step_size_policy_params,
+        termination_evaluation_frequency=int(
+            params.termination_evaluation_frequency
+        ),
+    )
+
+    display_iteration_stats_heading(params.verbosity)
+
+    iteration_stats = []
+    start_time = time.time()
+    basic_algorithm_time = 0.0
+    while True:
+        elapsed = time.time() - start_time
+        segment_start = time.time()
+        state, result = _run_segment(
+            bundle, state, jnp.asarray(elapsed, jnp.float64), config
+        )
+        reason_code = int(result.termination_reason)
+        terminated = reason_code != 0
+        eval_iteration = int(result.iteration)  # = displayed iteration - 1
+        basic_algorithm_time += time.time() - segment_start
+
+        method_specific_stats = {
+            "time_spent_doing_basic_algorithm": basic_algorithm_time,
+            "lagrangian_value": float(result.lagrangian_value),
+            "estimated_lower_bound": float(result.estimated_lower_bound),
+            "estimated_upper_bound": float(result.estimated_upper_bound),
+        }
+        stats = to_host_stats(
+            result.conv,
+            result.infeas,
+            eval_iteration,
+            float(result.cumulative_kkt_passes),
+            elapsed,
+            RestartChoice(int(result.restart_used))
+            if int(result.restart_used) != 0
+            else RestartChoice.RESTART_CHOICE_UNSPECIFIED,
+            float(result.step_size),
+            float(result.primal_weight),
+            method_specific_stats,
+            PointType.POINT_TYPE_AVERAGE_ITERATE,
+        )
+        if params.record_iteration_stats or terminated:
+            iteration_stats.append(stats)
+        if print_to_screen_this_iteration(
+            True if terminated else False,
+            eval_iteration + 1,
+            params.verbosity,
+            params.termination_evaluation_frequency,
+        ):
+            display_iteration_stats(stats, params.verbosity)
+
+        if terminated:
+            reason = TerminationReason(reason_code)
+            if params.verbosity >= 1:
+                from ..solve_log import termination_reason_to_string
+
+                print(
+                    f"Terminated after {eval_iteration + 1} iterations: "
+                    f"{termination_reason_to_string(reason)}"
+                )
+            return unscaled_saddle_point_output(
+                scaled_problem,
+                np.asarray(state.avg_primal_out),
+                np.asarray(state.avg_dual_out),
+                reason,
+                eval_iteration,
+                iteration_stats,
+            )

@@ -1,0 +1,108 @@
+"""Device (JAX pytree) mirror of the host problem representation.
+
+The solvers operate on immutable DeviceQp pytrees; a DeviceScaledQp bundles
+the scaled problem (solver iterations) with the original problem and the
+cumulative rescaling vectors (termination stats are always evaluated on the
+unscaled original problem, reference src/iteration_stats_utils.jl:413-451).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import QuadraticProgrammingProblem, ScaledQpProblem
+from .linops import LinOp, build_linop, matvec, rmatvec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceQp:
+    variable_lower_bound: jax.Array  # (n,)
+    variable_upper_bound: jax.Array  # (n,)
+    objective_vector: jax.Array  # (n,)
+    objective_constant: jax.Array  # scalar
+    right_hand_side: jax.Array  # (m,)
+    is_equality: jax.Array  # (m,) bool; equality rows come first
+    constraint_matrix: LinOp
+    objective_matrix: Optional[LinOp]  # None for LPs (static)
+
+    @property
+    def num_variables(self) -> int:
+        return self.variable_lower_bound.shape[-1]
+
+    @property
+    def num_constraints(self) -> int:
+        return self.right_hand_side.shape[-1]
+
+    @property
+    def is_lp(self) -> bool:
+        return self.objective_matrix is None
+
+    # --- basic oracles -----------------------------------------------------
+
+    def ax(self, x: jax.Array) -> jax.Array:
+        return matvec(self.constraint_matrix, x)
+
+    def aty(self, y: jax.Array) -> jax.Array:
+        return rmatvec(self.constraint_matrix, y)
+
+    def qx(self, x: jax.Array) -> jax.Array:
+        if self.objective_matrix is None:
+            return jnp.zeros_like(x)
+        return matvec(self.objective_matrix, x)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScaledQp:
+    scaled: DeviceQp
+    original: DeviceQp
+    constraint_rescaling: jax.Array  # (m,)
+    variable_rescaling: jax.Array  # (n,)
+
+
+def to_device(
+    problem: QuadraticProgrammingProblem,
+    dtype=jnp.float64,
+    format: str = "auto",
+) -> DeviceQp:
+    m = problem.num_constraints
+    is_equality = np.zeros(m, dtype=bool)
+    is_equality[: problem.num_equalities] = True
+    objective_matrix = (
+        None
+        if problem.objective_matrix.nnz == 0
+        else build_linop(problem.objective_matrix, dtype, format)
+    )
+    return DeviceQp(
+        variable_lower_bound=jnp.asarray(problem.variable_lower_bound, dtype),
+        variable_upper_bound=jnp.asarray(problem.variable_upper_bound, dtype),
+        objective_vector=jnp.asarray(problem.objective_vector, dtype),
+        objective_constant=jnp.asarray(problem.objective_constant, dtype),
+        right_hand_side=jnp.asarray(problem.right_hand_side, dtype),
+        is_equality=jnp.asarray(is_equality),
+        constraint_matrix=build_linop(problem.constraint_matrix, dtype, format),
+        objective_matrix=objective_matrix,
+    )
+
+
+def to_device_scaled(
+    scaled_problem: ScaledQpProblem,
+    dtype=jnp.float64,
+    format: str = "auto",
+) -> DeviceScaledQp:
+    return DeviceScaledQp(
+        scaled=to_device(scaled_problem.scaled_qp, dtype, format),
+        original=to_device(scaled_problem.original_qp, dtype, format),
+        constraint_rescaling=jnp.asarray(
+            scaled_problem.constraint_rescaling, dtype
+        ),
+        variable_rescaling=jnp.asarray(
+            scaled_problem.variable_rescaling, dtype
+        ),
+    )

@@ -1,0 +1,199 @@
+"""Device-side linear operators for the constraint/objective matrices.
+
+Two TPU-friendly layouts:
+
+- DenseOp: the matrix as a dense (m, n) array. Matvecs run on the MXU.
+  Best for small/medium problems (Netlib-scale), where densifying is
+  cheaper than irregular gathers.
+
+- SparseOp: a padded, bucketed ELL layout. Rows are grouped into buckets by
+  power-of-two nnz; each bucket stores (rows_b, k) column-index and value
+  planes. A matvec is `(vals * x[cols]).sum(axis=1)` per bucket - a
+  vectorized gather plus a dense reduction, both of which map onto the TPU
+  VPU with static shapes - followed by one inverse-permutation gather.
+  Transposed products use a second ELL built from A^T (both orientations
+  are stored; HBM cost 2x nnz, the same trade the reference's CSC makes
+  implicitly by iterating columns for A'y).
+
+Reference call sites these replace: `problem.constraint_matrix * x` and
+`problem.constraint_matrix' * y` (src/saddle_point.jl:1089,1106;
+src/primal_dual_hybrid_gradient.jl:492).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseOp:
+    a: jax.Array  # (m, n)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.a.shape
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self.a @ x
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        # A' y computed as (y' A)'; XLA folds the transpose into the
+        # contraction so only one copy of `a` lives in HBM.
+        return y @ self.a
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllBucket:
+    cols: jax.Array  # (rows_b, k) int32, padded with 0
+    vals: jax.Array  # (rows_b, k) float, padded with 0.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllHalf:
+    """Row-major padded-ELL of a single orientation of a sparse matrix."""
+
+    buckets: Tuple[EllBucket, ...]
+    inv_perm: jax.Array  # (m,) int32: output row i lives at concat[inv_perm[i]]
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        parts = [
+            (b.vals * jnp.take(x, b.cols, axis=0)).sum(axis=1)
+            for b in self.buckets
+        ]
+        concat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return jnp.take(concat, self.inv_perm, axis=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseOp:
+    fwd: EllHalf  # A, row-major
+    bwd: EllHalf  # A^T, row-major
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.num_rows, self.num_cols)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self.fwd.mv(x)
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        return self.bwd.mv(y)
+
+
+LinOp = Union[DenseOp, SparseOp]
+
+
+def matvec(op: Optional[LinOp], x: jax.Array) -> jax.Array:
+    if op is None:
+        return jnp.zeros_like(x)
+    return op.mv(x)
+
+
+def rmatvec(op: Optional[LinOp], y: jax.Array) -> jax.Array:
+    if op is None:
+        return jnp.zeros_like(y)
+    return op.rmv(y)
+
+
+def _build_ell_half(csr: sp.csr_matrix, dtype) -> EllHalf:
+    """Builds the bucketed ELL planes for one orientation (host side)."""
+    m = csr.shape[0]
+    row_nnz = np.diff(csr.indptr)
+    max_nnz = int(row_nnz.max()) if m > 0 else 0
+
+    # Power-of-two bucket widths, smallest 1.
+    widths = []
+    k = 1
+    while k < max(max_nnz, 1):
+        widths.append(k)
+        k *= 2
+    widths.append(max(k, 1))
+
+    # Assign each row the smallest width >= its nnz.
+    bucket_of_row = np.searchsorted(widths, np.maximum(row_nnz, 1))
+
+    # Flat entry -> (row, within-row offset), fully vectorized.
+    row_of_entry = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
+    offset_of_entry = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
+        csr.indptr[:-1].astype(np.int64), row_nnz
+    )
+    entry_bucket = bucket_of_row[row_of_entry] if csr.nnz > 0 else row_of_entry
+
+    buckets = []
+    perm_chunks = []
+    for b, width in enumerate(widths):
+        rows_b = np.flatnonzero(bucket_of_row == b)
+        if len(rows_b) == 0:
+            continue
+        pos_of_row = np.zeros(m, dtype=np.int64)
+        pos_of_row[rows_b] = np.arange(len(rows_b))
+        cols = np.zeros((len(rows_b), width), dtype=np.int32)
+        vals = np.zeros((len(rows_b), width), dtype=np.float64)
+        emask = entry_bucket == b
+        r = row_of_entry[emask]
+        cols[pos_of_row[r], offset_of_entry[emask]] = csr.indices[emask]
+        vals[pos_of_row[r], offset_of_entry[emask]] = csr.data[emask]
+        buckets.append(
+            EllBucket(cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype))
+        )
+        perm_chunks.append(rows_b)
+
+    if not buckets:
+        # Degenerate all-empty matrix: a single zero bucket.
+        buckets = [
+            EllBucket(
+                cols=jnp.zeros((m, 1), dtype=jnp.int32),
+                vals=jnp.zeros((m, 1), dtype=dtype),
+            )
+        ]
+        perm_chunks = [np.arange(m)]
+
+    perm = np.concatenate(perm_chunks)
+    inv_perm = np.empty(m, dtype=np.int32)
+    inv_perm[perm] = np.arange(m, dtype=np.int32)
+    return EllHalf(buckets=tuple(buckets), inv_perm=jnp.asarray(inv_perm))
+
+
+def build_sparse_op(matrix: sp.spmatrix, dtype=jnp.float64) -> SparseOp:
+    csr = sp.csr_matrix(matrix)
+    csr.sum_duplicates()
+    csr_t = sp.csr_matrix(matrix.T)
+    csr_t.sum_duplicates()
+    return SparseOp(
+        fwd=_build_ell_half(csr, dtype),
+        bwd=_build_ell_half(csr_t, dtype),
+        num_rows=matrix.shape[0],
+        num_cols=matrix.shape[1],
+    )
+
+
+def build_dense_op(matrix: sp.spmatrix, dtype=jnp.float64) -> DenseOp:
+    return DenseOp(a=jnp.asarray(np.asarray(matrix.todense()), dtype))
+
+
+def build_linop(
+    matrix: sp.spmatrix,
+    dtype=jnp.float64,
+    format: str = "auto",
+    dense_size_limit: int = 2_000_000,
+) -> LinOp:
+    """Chooses a device layout for `matrix`.
+
+    format: "dense", "ell", or "auto" (dense when m*n <= dense_size_limit).
+    """
+    m, n = matrix.shape
+    if format == "dense" or (format == "auto" and m * n <= dense_size_limit):
+        return build_dense_op(matrix, dtype)
+    return build_sparse_op(matrix, dtype)

@@ -1,0 +1,254 @@
+"""Bound-constrained trust-region subproblem, solved with static shapes.
+
+Solves
+    argmin_x  g' x
+    s.t.      l <= x <= u,  ||x - center||_w <= r            (1)
+where ||v||_w = sqrt(sum_i w_i v_i^2), by parameterizing
+x(t) = clamp(center - t * g / w, l, u) and finding the t at which the
+weighted radius equals r.
+
+The reference (src/trust_region_utils.jl:68-192) solves this with an
+iterative median-of-breakpoints elimination - a data-dependent loop that
+does not map to XLA. Here the same exact solution is obtained with one
+sort + prefix sums + a vectorized first-true search:
+
+  radius^2(t) = sum_i a_i * min(t, tau_i)^2,   a_i = w_i d_i^2,
+  with d_i the (masked) movement direction and tau_i the breakpoint at
+  which component i hits its bound. radius^2 is nondecreasing in t and
+  piecewise quadratic with knots at the sorted tau; prefix sums give its
+  value at every knot, and t* solves low_k + t^2 high_k = r^2 on the
+  segment where r^2 lands. O(n log n), fixed shapes, fully shardable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class TrustRegionResult(NamedTuple):
+    solution: jnp.ndarray
+    value: jnp.ndarray  # g' (solution - center)
+
+
+def solve_bound_constrained_trust_region(
+    center_point,
+    objective_vector,
+    variable_lower_bounds,
+    variable_upper_bounds,
+    norm_weights,
+    target_radius,
+    solve_approximately: bool = False,
+) -> TrustRegionResult:
+    if solve_approximately:
+        return _approximate_trust_region(
+            center_point,
+            objective_vector,
+            variable_lower_bounds,
+            variable_upper_bounds,
+            norm_weights,
+            target_radius,
+        )
+
+    g = objective_vector
+    c = center_point
+    lb = variable_lower_bounds
+    ub = variable_upper_bounds
+    w = norm_weights
+
+    # Components already at a bound with the objective pushing outward do
+    # not move (reference l.95-102).
+    frozen = ((c >= ub) & (g <= 0.0)) | ((c <= lb) & (g >= 0.0))
+    direction = jnp.where(frozen, 0.0, -g / w)
+
+    # Breakpoint at which each component hits its bound; 0 for components
+    # that don't move (reference l.105-116).
+    tau = jnp.where(
+        direction > 0,
+        (ub - c) / jnp.where(direction > 0, direction, 1.0),
+        jnp.where(
+            direction < 0,
+            (lb - c) / jnp.where(direction < 0, direction, 1.0),
+            0.0,
+        ),
+    )
+    a = w * direction * direction  # radius^2 growth coefficient per component
+
+    order = jnp.argsort(tau)
+    tau_s = tau[order]
+    a_s = a[order]
+    finite = jnp.isfinite(tau_s)
+
+    # Prefix sums: S_k = sum_{j<=k, finite} a_j tau_j^2 (clamped part),
+    # H_k = sum_{j>k} a_j (still-moving part, incl. infinite-tau comps).
+    clamped_contrib = jnp.where(finite, a_s * tau_s * tau_s, 0.0)
+    s_cum = jnp.cumsum(clamped_contrib)
+    a_cum = jnp.cumsum(a_s)
+    a_total = a_cum[-1] if a_s.shape[0] > 0 else jnp.asarray(0.0)
+    h_after = a_total - a_cum
+
+    # radius^2 at each finite knot (infinite knots -> +inf sentinel).
+    r2_at_knot = jnp.where(
+        finite, s_cum + tau_s * tau_s * h_after, jnp.inf
+    )
+    target_r2 = target_radius * target_radius
+
+    hit = r2_at_knot >= target_r2
+    any_hit = jnp.any(hit & finite)
+    k = jnp.argmax(hit)  # first knot with radius^2 >= r^2
+
+    low_before = jnp.where(k > 0, s_cum[jnp.maximum(k - 1, 0)], 0.0)
+    high_before = jnp.where(k > 0, h_after[jnp.maximum(k - 1, 0)], a_total)
+
+    # Interior solution on the segment containing r^2.
+    t_interior = jnp.sqrt(
+        jnp.maximum(target_r2 - low_before, 0.0)
+        / jnp.where(high_before > 0, high_before, 1.0)
+    )
+
+    # No finite knot reaches r^2: either unbounded components keep moving
+    # (solve on the last segment) or all bounds are hit first (t = max tau,
+    # reference l.175-181).
+    a_finite_total = jnp.sum(jnp.where(finite, a_s, 0.0))
+    s_total = s_cum[-1] if a_s.shape[0] > 0 else jnp.asarray(0.0)
+    h_infinite = a_total - a_finite_total
+    t_beyond = jnp.where(
+        h_infinite > 0,
+        jnp.sqrt(
+            jnp.maximum(target_r2 - s_total, 0.0)
+            / jnp.where(h_infinite > 0, h_infinite, 1.0)
+        ),
+        jnp.max(jnp.where(finite, tau_s, 0.0), initial=0.0),
+    )
+
+    t_star = jnp.where(any_hit, t_interior, t_beyond)
+
+    # Degenerate cases: zero radius or zero objective -> stay at center
+    # (reference l.88-91).
+    degenerate = (target_radius <= 0.0) | (
+        jnp.sum(g * g) == 0.0
+    )
+    t_star = jnp.where(degenerate, 0.0, t_star)
+
+    solution = jnp.clip(c + t_star * direction, lb, ub)
+    value = jnp.sum(g * (solution - c))
+    return TrustRegionResult(solution=solution, value=value)
+
+
+def _approximate_trust_region(
+    center_point,
+    objective_vector,
+    variable_lower_bounds,
+    variable_upper_bounds,
+    norm_weights,
+    target_radius,
+) -> TrustRegionResult:
+    """Scaled projected-gradient approximation (reference l.194-224)."""
+    g = objective_vector
+    c = center_point
+    frozen = ((c >= variable_upper_bounds) & (g <= 0.0)) | (
+        (c <= variable_lower_bounds) & (g >= 0.0)
+    )
+    direction = jnp.where(frozen, 0.0, -g / norm_weights)
+    norm = jnp.sqrt(jnp.sum(norm_weights * direction * direction))
+    direction = jnp.where(
+        norm > 0, direction * (target_radius / jnp.where(norm > 0, norm, 1.0)),
+        direction,
+    )
+    return TrustRegionResult(
+        solution=c + direction, value=jnp.sum(g * direction)
+    )
+
+
+class ObjectiveBound(NamedTuple):
+    """Scalar results of bound_optimal_objective (the trust-region
+    minimizer vectors themselves are not needed by the restart logic)."""
+
+    lagrangian_value: jnp.ndarray
+    lower_bound_value: jnp.ndarray
+    upper_bound_value: jnp.ndarray
+
+    @property
+    def gap(self):
+        return self.upper_bound_value - self.lower_bound_value
+
+
+def bound_optimal_objective(
+    problem,
+    primal_solution,
+    dual_solution,
+    primal_norm_weights,
+    dual_norm_weights,
+    distance_to_optimality,
+    use_max_norm: bool = False,
+    solve_approximately: bool = False,
+) -> ObjectiveBound:
+    """Localized duality gap: bounds the optimal objective within a ball.
+
+    Reference: src/trust_region_utils.jl:240-360. `problem` is a DeviceQp.
+    With use_max_norm the primal and dual subproblems split; otherwise the
+    ball is Euclidean in the joint (x, y) space.
+    """
+    qx = problem.qx(primal_solution)
+    aty = problem.aty(dual_solution)
+    ax = problem.ax(primal_solution)
+
+    primal_gradient = qx + problem.objective_vector - aty
+    dual_gradient = problem.right_hand_side - ax
+    lagrangian_value = (
+        0.5 * jnp.sum(primal_solution * qx)
+        + jnp.sum(primal_solution * problem.objective_vector)
+        - jnp.sum(primal_solution * aty)
+        + jnp.sum(dual_solution * problem.right_hand_side)
+        + problem.objective_constant
+    )
+
+    dual_lb = jnp.where(problem.is_equality, -jnp.inf, 0.0)
+    dual_ub = jnp.full_like(dual_solution, jnp.inf)
+
+    if use_max_norm:
+        primal_result = solve_bound_constrained_trust_region(
+            primal_solution,
+            primal_gradient,
+            problem.variable_lower_bound,
+            problem.variable_upper_bound,
+            primal_norm_weights,
+            distance_to_optimality,
+            solve_approximately,
+        )
+        dual_result = solve_bound_constrained_trust_region(
+            dual_solution,
+            -dual_gradient,
+            dual_lb,
+            dual_ub,
+            dual_norm_weights,
+            distance_to_optimality,
+            solve_approximately,
+        )
+        return ObjectiveBound(
+            lagrangian_value=lagrangian_value,
+            lower_bound_value=lagrangian_value + primal_result.value,
+            upper_bound_value=lagrangian_value - dual_result.value,
+        )
+
+    z = jnp.concatenate([primal_solution, dual_solution])
+    z_gradient = jnp.concatenate([primal_gradient, -dual_gradient])
+    z_lb = jnp.concatenate([problem.variable_lower_bound, dual_lb])
+    z_ub = jnp.concatenate([problem.variable_upper_bound, dual_ub])
+    weights = jnp.concatenate([primal_norm_weights, dual_norm_weights])
+
+    result = solve_bound_constrained_trust_region(
+        z, z_gradient, z_lb, z_ub, weights, distance_to_optimality,
+        solve_approximately,
+    )
+    n = primal_solution.shape[0]
+    primal_tr = result.solution[:n]
+    dual_tr = result.solution[n:]
+    return ObjectiveBound(
+        lagrangian_value=lagrangian_value,
+        lower_bound_value=lagrangian_value
+        + jnp.sum((primal_tr - primal_solution) * primal_gradient),
+        upper_bound_value=lagrangian_value
+        + jnp.sum((dual_tr - dual_solution) * dual_gradient),
+    )
