@@ -63,7 +63,12 @@ def evaluate_unscaled_stats(
     the termination block of the solve loops)."""
     original_primal = avg_primal / bundle.variable_rescaling
     original_dual = avg_dual / bundle.constraint_rescaling
-    eps_ratio = criteria.eps_optimal_absolute / criteria.eps_optimal_relative
+    # Julia division semantics: 0/0 -> NaN, x/0 -> Inf (not an exception).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        eps_ratio = float(
+            np.float64(criteria.eps_optimal_absolute)
+            / np.float64(criteria.eps_optimal_relative)
+        )
     conv = compute_convergence_information(
         bundle.original, qp_cache, original_primal, original_dual, eps_ratio
     )

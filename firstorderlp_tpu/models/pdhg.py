@@ -167,16 +167,23 @@ class PdhgState:
 def _initial_state(bundle: DeviceScaledQp, dtype) -> PdhgState:
     n = bundle.scaled.num_variables
     m = bundle.scaled.num_constraints
-    zeros_n = jnp.zeros(n, dtype)
-    zeros_m = jnp.zeros(m, dtype)
+
+    # Distinct buffers per field: the state is donated to the jitted
+    # segment, and aliased buffers cannot be donated twice.
+    def zeros_n():
+        return jnp.zeros(n, dtype)
+
+    def zeros_m():
+        return jnp.zeros(m, dtype)
+
     return PdhgState(
-        current_primal_solution=zeros_n,
-        current_dual_solution=zeros_m,
-        delta_primal=zeros_n,
-        delta_dual=zeros_m,
-        current_dual_product=zeros_n,
+        current_primal_solution=zeros_n(),
+        current_dual_solution=zeros_m(),
+        delta_primal=zeros_n(),
+        delta_dual=zeros_m(),
+        current_dual_product=zeros_n(),
         avg=initialize_solution_weighted_average(n, m, dtype),
-        restart_info=create_last_restart_info(zeros_n, zeros_m),
+        restart_info=create_last_restart_info(zeros_n(), zeros_m()),
         step_size=jnp.asarray(0.0, dtype),
         primal_weight=jnp.asarray(1.0, dtype),
         numerical_error=jnp.asarray(False),
@@ -185,8 +192,8 @@ def _initial_state(bundle: DeviceScaledQp, dtype) -> PdhgState:
         ratio_step_sizes=jnp.asarray(1.0, dtype),
         iteration=jnp.int64(1),
         termination_reason=jnp.int32(0),
-        avg_primal_out=zeros_n,
-        avg_dual_out=zeros_m,
+        avg_primal_out=zeros_n(),
+        avg_dual_out=zeros_m(),
     )
 
 
