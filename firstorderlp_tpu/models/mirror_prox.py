@@ -1,21 +1,77 @@
-"""Saddle-point Mirror Prox (extragradient) solver. See pdhg.py for the
-execution model. Reference semantics: src/mirror_prox.jl.
+"""Saddle-point Mirror Prox (extragradient) solver, TPU-native.
 
-(Implementation lands after PDHG; parameters defined here already.)
+Reference semantics: src/mirror_prox.jl. Saddle point
+    min_x max_y phi(x,y) = const + c'x + b'y + 0.5 x'Qx - y'Ax
+with mirror map (omega/2)||x||_X^2 + (1/(2 omega))||y||_Y^2 where X, Y are
+diagonal scalings derived from matrix row/column norms (l1/l2/off).
+
+Each iteration takes two proximal steps (test point and candidate) and
+accepts iff nonlinearity/movement <= 1/step_size - two KKT passes per
+iteration. The reference materializes a combo matrix [0 A'; -A 0]
+(mirror_prox.jl:641-644); here the pseudo-gradient is computed directly
+with one A and one A' product (c + Qx - A'y, Ax - b), which avoids storing
+the matrix twice more on device.
+
+Execution model (jitted segments + host loop): see pdhg.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import time
 from typing import Optional
 
-from ..saddle_point import RestartParameters
-from ..termination import TerminationCriteria
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..iteration_stats import (
+    display_iteration_stats,
+    display_iteration_stats_heading,
+    print_to_screen_this_iteration,
+    to_host_stats,
+)
+from ..preprocess import rescale_problem, sparse_l2_norms
+from ..problem import QuadraticProgrammingProblem, validate
+from ..ops.device_problem import DeviceScaledQp, to_device_scaled
+from ..saddle_point import (
+    RestartInfo,
+    RestartParameters,
+    SolutionWeightedAverage,
+    add_to_solution_weighted_average,
+    compute_new_primal_weight,
+    create_last_restart_info,
+    initialize_solution_weighted_average,
+    project_dual,
+    project_primal,
+    run_restart_scheme,
+    unscaled_saddle_point_output,
+    update_objective_bound_estimates,
+    SaddlePointOutput,
+)
+from ..solve_log import PointType, RestartChoice, TerminationReason
+from ..termination import (
+    TerminationCriteria,
+    cached_quadratic_program_info,
+    validate_termination_criteria,
+)
+from .common import (
+    EvalResult,
+    HashableCriteria,
+    HashableQpCache,
+    evaluate_unscaled_stats,
+    initial_primal_weight_host,
+    matrix_inf_norm_entrywise,
+)
+
+KKT_PASSES_PER_ITERATION = 2.0
+KKT_PASSES_PER_TERMINATION_EVALUATION = 2.0
 
 
 @dataclasses.dataclass
 class MirrorProxParameters:
-    """Reference: src/mirror_prox.jl:15-126."""
+    """Reference: src/mirror_prox.jl:15-126 plus TPU knobs."""
 
     l_inf_ruiz_iterations: int
     l2_norm_rescaling: bool
@@ -33,5 +89,464 @@ class MirrorProxParameters:
     matrix_format: str = "auto"
 
 
-def optimize(params: MirrorProxParameters, original_problem):
-    raise NotImplementedError("mirror prox lands next milestone")
+@dataclasses.dataclass(frozen=True)
+class _MpConfig:
+    criteria: HashableCriteria
+    qp_cache: HashableQpCache
+    restart_params: RestartParameters
+    termination_evaluation_frequency: int
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MirrorProxState:
+    current_primal: jax.Array
+    current_dual: jax.Array
+    primal_scaling: jax.Array  # X diag of the mirror map (incl. omega)
+    dual_scaling: jax.Array  # Y diag of the mirror map (incl. 1/omega)
+    avg: SolutionWeightedAverage
+    restart_info: RestartInfo
+    step_size: jax.Array
+    primal_weight: jax.Array
+    numerical_error: jax.Array
+    cumulative_kkt_passes: jax.Array
+    iteration: jax.Array  # int64, outer iteration due for processing
+    iterations_completed: jax.Array  # int64
+    accepted_iterations: jax.Array  # int64
+    termination_reason: jax.Array  # int32
+    avg_primal_out: jax.Array
+    avg_dual_out: jax.Array
+
+
+def _pseudo_gradient(problem, x, y):
+    """(grad_x phi, -grad_y phi) = (c + Qx - A'y, Ax - b)
+    (reference mirror_prox.jl:284-307)."""
+    gx = problem.objective_vector + problem.qx(x) - problem.aty(y)
+    gy = problem.ax(x) - problem.right_hand_side
+    return gx, gy
+
+
+def _proximal_step(problem, x, y, gx, gy, primal_scaling, dual_scaling,
+                   step_size):
+    """argmin_z step*g'z + 0.5 (z - z0)' D (z - z0) with bound projections
+    (reference mirror_prox.jl:317-346)."""
+    new_x = project_primal(x - step_size * gx / primal_scaling, problem)
+    new_y = project_dual(y - step_size * gy / dual_scaling, problem)
+    return new_x, new_y
+
+
+def _bregman(primal_scaling, dual_scaling, dx, dy):
+    """0.5 ||d||_D^2 for the concatenated difference
+    (reference mirror_prox.jl:249-257)."""
+    return 0.5 * (
+        jnp.sum(primal_scaling * dx * dx) + jnp.sum(dual_scaling * dy * dy)
+    )
+
+
+def _take_step(problem, state: MirrorProxState) -> MirrorProxState:
+    """One extragradient iteration (reference mirror_prox.jl:855-917)."""
+    x, y = state.current_primal, state.current_dual
+    gx, gy = _pseudo_gradient(problem, x, y)
+    test_x, test_y = _proximal_step(
+        problem, x, y, gx, gy, state.primal_scaling, state.dual_scaling,
+        state.step_size,
+    )
+    tgx, tgy = _pseudo_gradient(problem, test_x, test_y)
+    cand_x, cand_y = _proximal_step(
+        problem, x, y, tgx, tgy, state.primal_scaling, state.dual_scaling,
+        state.step_size,
+    )
+
+    nonlinearity = jnp.sum((tgx - gx) * (test_x - cand_x)) + jnp.sum(
+        (tgy - gy) * (test_y - cand_y)
+    )
+    movement = _bregman(
+        state.primal_scaling, state.dual_scaling, cand_x - test_x,
+        cand_y - test_y,
+    ) + _bregman(
+        state.primal_scaling, state.dual_scaling, test_x - x, test_y - y
+    )
+    numerical_error = movement == 0.0
+
+    inv_stepsize_required = nonlinearity / jnp.where(
+        numerical_error, 1.0, movement
+    )
+    accept = (inv_stepsize_required <= 1.0 / state.step_size) & (
+        ~numerical_error
+    )
+
+    new_x = jnp.where(accept, cand_x, x)
+    new_y = jnp.where(accept, cand_y, y)
+    avg_added = add_to_solution_weighted_average(
+        state.avg, test_x, test_y, state.step_size
+    )
+    new_avg = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), avg_added, state.avg
+    )
+
+    it = state.iteration.astype(state.step_size.dtype)
+    first_term = (1 - (it + 1.0) ** (-0.3)) / jnp.abs(inv_stepsize_required)
+    second_term = (1 + (it + 1.0) ** (-0.6)) * state.step_size
+    new_step = jnp.minimum(first_term, second_term)
+
+    # On movement == 0 the reference `continue`s: nothing is updated this
+    # iteration except the numerical_error flag (mirror_prox.jl:872-878).
+    stepped = dataclasses.replace(
+        state,
+        current_primal=new_x,
+        current_dual=new_y,
+        avg=new_avg,
+        step_size=new_step,
+        accepted_iterations=state.accepted_iterations
+        + accept.astype(jnp.int64),
+        iterations_completed=state.iterations_completed + 1,
+        cumulative_kkt_passes=state.cumulative_kkt_passes
+        + KKT_PASSES_PER_ITERATION,
+    )
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(numerical_error, a, b), state, stepped
+    )
+    return dataclasses.replace(state, numerical_error=numerical_error)
+
+
+def _is_eval_iteration(iteration, config: _MpConfig):
+    freq = config.termination_evaluation_frequency
+    return (
+        ((iteration - 1) % freq == 0)
+        | (iteration == config.criteria.iteration_limit + 1)
+        | (iteration <= 10)
+    )
+
+
+def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
+                config: _MpConfig):
+    criteria = config.criteria.to_criteria()
+    kkt = state.cumulative_kkt_passes + KKT_PASSES_PER_TERMINATION_EVALUATION
+
+    has_avg = (
+        ~state.numerical_error
+        & (state.avg.sum_primal_solutions_count > 0)
+        & (state.avg.sum_dual_solutions_count > 0)
+    )
+    avg_primal = jnp.where(
+        has_avg,
+        state.avg.sum_primal_solutions
+        / jnp.where(
+            state.avg.sum_primal_solution_weights > 0,
+            state.avg.sum_primal_solution_weights,
+            1.0,
+        ),
+        state.current_primal,
+    )
+    avg_dual = jnp.where(
+        has_avg,
+        state.avg.sum_dual_solutions
+        / jnp.where(
+            state.avg.sum_dual_solution_weights > 0,
+            state.avg.sum_dual_solution_weights,
+            1.0,
+        ),
+        state.current_dual,
+    )
+
+    conv, infeas, reason = evaluate_unscaled_stats(
+        bundle,
+        config.qp_cache,
+        criteria,
+        avg_primal,
+        avg_dual,
+        state.numerical_error,
+        state.iteration - 1,
+        kkt,
+        elapsed_time,
+    )
+
+    lagrangian, est_lb, est_ub = update_objective_bound_estimates(
+        bundle.scaled, avg_primal, avg_dual, state.primal_scaling,
+        state.dual_scaling,
+    )
+
+    terminated = reason != 0
+
+    restart = run_restart_scheme(
+        bundle.scaled,
+        state.avg,
+        state.current_primal,
+        state.current_dual,
+        state.restart_info,
+        state.iterations_completed,
+        state.primal_scaling,
+        state.dual_scaling,
+        state.primal_weight,
+        config.restart_params,
+    )
+    restarted = restart.restart_choice != jnp.int32(
+        RestartChoice.RESTART_CHOICE_NO_RESTART
+    )
+    new_primal_weight = jnp.where(
+        restarted,
+        compute_new_primal_weight(
+            restart.restart_info,
+            state.primal_weight,
+            config.restart_params.primal_weight_update_smoothing,
+        ),
+        state.primal_weight,
+    )
+    # update_mirror_prox_norms (reference mirror_prox.jl:552-571): the
+    # mirror-map scalings absorb the primal weight ratio.
+    ratio = new_primal_weight / state.primal_weight
+    new_primal_scaling = state.primal_scaling * ratio
+    new_dual_scaling = state.dual_scaling / ratio
+
+    post_restart = dataclasses.replace(
+        state,
+        current_primal=restart.primal_solution,
+        current_dual=restart.dual_solution,
+        avg=restart.avg,
+        restart_info=restart.restart_info,
+        primal_weight=new_primal_weight,
+        primal_scaling=new_primal_scaling,
+        dual_scaling=new_dual_scaling,
+    )
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(terminated, a, b), state, post_restart
+    )
+    new_state = dataclasses.replace(
+        new_state,
+        cumulative_kkt_passes=kkt,
+        termination_reason=reason,
+        avg_primal_out=avg_primal,
+        avg_dual_out=avg_dual,
+    )
+    result = EvalResult(
+        conv=conv,
+        infeas=infeas,
+        lagrangian_value=lagrangian,
+        estimated_lower_bound=est_lb,
+        estimated_upper_bound=est_ub,
+        termination_reason=reason,
+        restart_used=jnp.where(
+            terminated,
+            jnp.int32(RestartChoice.RESTART_CHOICE_UNSPECIFIED),
+            restart.restart_choice,
+        ),
+        iteration=state.iteration - 1,
+        cumulative_kkt_passes=kkt,
+        step_size=state.step_size,
+        primal_weight=state.primal_weight,
+    )
+    return new_state, result
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("state",)
+)
+def _run_segment(bundle: DeviceScaledQp, state: MirrorProxState,
+                 elapsed_time, config: _MpConfig):
+    state, result = _eval_block(bundle, state, elapsed_time, config)
+
+    def steps(state):
+        def body(s):
+            s = _take_step(bundle.scaled, s)
+            return dataclasses.replace(s, iteration=s.iteration + 1)
+
+        def cond(s):
+            return ~s.numerical_error & ~_is_eval_iteration(
+                s.iteration, config
+            )
+
+        return jax.lax.while_loop(cond, body, body(state))
+
+    state = jax.lax.cond(
+        state.termination_reason != 0, lambda s: s, steps, state
+    )
+    return state, result
+
+
+def _initial_scalings(scaled_qp, diagonal_scaling: str,
+                      primal_importance: float):
+    """Mirror-map diagonal X, Y and initial primal weight (host side).
+
+    Reference: initialize_saddle_point_problem (mirror_prox.jl:484-550).
+    """
+    a = scaled_qp.constraint_matrix
+    q = scaled_qp.objective_matrix
+    n = a.shape[1]
+    m = a.shape[0]
+    if diagonal_scaling == "l2":
+        primal = np.sqrt(
+            sparse_l2_norms(a, axis=0) ** 2 + sparse_l2_norms(q, axis=0) ** 2
+        )
+        dual = sparse_l2_norms(a, axis=1)
+        primal_weight = primal_importance
+    elif diagonal_scaling == "l1":
+        primal = np.asarray(np.abs(a).sum(axis=0)).ravel() + np.asarray(
+            np.abs(q).sum(axis=0)
+        ).ravel()
+        dual = np.asarray(np.abs(a).sum(axis=1)).ravel()
+        primal_weight = 1.0
+    elif diagonal_scaling == "off":
+        primal = primal_importance * np.ones(n)
+        dual = (1.0 / primal_importance) * np.ones(m)
+        primal_weight = 1.0
+    else:
+        raise ValueError(f"Unknown diagonal_scaling: {diagonal_scaling!r}")
+    return primal, dual, primal_weight
+
+
+def optimize(
+    params: MirrorProxParameters,
+    original_problem: QuadraticProgrammingProblem,
+) -> SaddlePointOutput:
+    """Solves a QP with saddle-point mirror prox
+    (reference optimize, mirror_prox.jl:610-919)."""
+    validate(original_problem)
+    validate_termination_criteria(params.termination_criteria)
+
+    qp_cache = cached_quadratic_program_info(original_problem)
+    scaled_problem = rescale_problem(
+        params.l_inf_ruiz_iterations,
+        params.l2_norm_rescaling,
+        params.pock_chambolle_alpha,
+        params.verbosity,
+        original_problem,
+    )
+    dtype = jnp.dtype(params.dtype)
+    bundle = to_device_scaled(scaled_problem, dtype, params.matrix_format)
+    n = bundle.scaled.num_variables
+    m = bundle.scaled.num_constraints
+
+    inf_norm = matrix_inf_norm_entrywise(
+        scaled_problem.scaled_qp.constraint_matrix
+    )
+    step_size = 1.0 / inf_norm if inf_norm > 0 else 1.0
+
+    primal_scaling, dual_scaling, primal_weight = _initial_scalings(
+        scaled_problem.scaled_qp,
+        params.diagonal_scaling,
+        params.primal_importance,
+    )
+    if params.scale_invariant_initial_primal_weight:
+        obj_norm = float(
+            np.sqrt(
+                np.sum(
+                    primal_scaling
+                    * scaled_problem.scaled_qp.objective_vector ** 2
+                )
+            )
+        )
+        rhs_norm = float(
+            np.sqrt(
+                np.sum(
+                    dual_scaling
+                    * scaled_problem.scaled_qp.right_hand_side ** 2
+                )
+            )
+        )
+        if obj_norm > 0.0 and rhs_norm > 0.0:
+            new_primal_weight = params.primal_importance * (
+                obj_norm / rhs_norm
+            )
+        else:
+            new_primal_weight = params.primal_importance
+    else:
+        new_primal_weight = params.primal_importance
+    # update_mirror_prox_norms at initialization (mirror_prox.jl:688).
+    ratio = new_primal_weight / primal_weight
+    primal_scaling = primal_scaling * ratio
+    dual_scaling = dual_scaling / ratio
+    primal_weight = new_primal_weight
+
+    state = MirrorProxState(
+        current_primal=jnp.zeros(n, dtype),
+        current_dual=jnp.zeros(m, dtype),
+        primal_scaling=jnp.asarray(primal_scaling, dtype),
+        dual_scaling=jnp.asarray(dual_scaling, dtype),
+        avg=initialize_solution_weighted_average(n, m, dtype),
+        restart_info=create_last_restart_info(
+            jnp.zeros(n, dtype), jnp.zeros(m, dtype)
+        ),
+        step_size=jnp.asarray(step_size, dtype),
+        primal_weight=jnp.asarray(primal_weight, dtype),
+        numerical_error=jnp.asarray(False),
+        cumulative_kkt_passes=jnp.asarray(0.0, jnp.float64),
+        iteration=jnp.int64(1),
+        iterations_completed=jnp.int64(0),
+        accepted_iterations=jnp.int64(0),
+        termination_reason=jnp.int32(0),
+        avg_primal_out=jnp.zeros(n, dtype),
+        avg_dual_out=jnp.zeros(m, dtype),
+    )
+
+    config = _MpConfig(
+        criteria=HashableCriteria.from_criteria(params.termination_criteria),
+        qp_cache=HashableQpCache.from_cache(qp_cache),
+        restart_params=params.restart_params,
+        termination_evaluation_frequency=int(
+            params.termination_evaluation_frequency
+        ),
+    )
+
+    display_iteration_stats_heading(params.verbosity)
+
+    iteration_stats = []
+    start_time = time.time()
+    basic_algorithm_time = 0.0
+    while True:
+        elapsed = time.time() - start_time
+        segment_start = time.time()
+        state, result = _run_segment(
+            bundle, state, jnp.asarray(elapsed, jnp.float64), config
+        )
+        reason_code = int(result.termination_reason)
+        terminated = reason_code != 0
+        eval_iteration = int(result.iteration)
+        basic_algorithm_time += time.time() - segment_start
+
+        method_specific_stats = {
+            "time_spent_doing_basic_algorithm": basic_algorithm_time,
+            "lagrangian_value": float(result.lagrangian_value),
+            "estimated_lower_bound": float(result.estimated_lower_bound),
+            "estimated_upper_bound": float(result.estimated_upper_bound),
+        }
+        stats = to_host_stats(
+            result.conv,
+            result.infeas,
+            eval_iteration,
+            float(result.cumulative_kkt_passes),
+            elapsed,
+            RestartChoice(int(result.restart_used))
+            if int(result.restart_used) != 0
+            else RestartChoice.RESTART_CHOICE_UNSPECIFIED,
+            float(result.step_size),
+            float(result.primal_weight),
+            method_specific_stats,
+            PointType.POINT_TYPE_AVERAGE_ITERATE,
+        )
+        if params.record_iteration_stats or terminated:
+            iteration_stats.append(stats)
+        if print_to_screen_this_iteration(
+            True if terminated else False,
+            eval_iteration + 1,
+            params.verbosity,
+            params.termination_evaluation_frequency,
+        ):
+            display_iteration_stats(stats, params.verbosity)
+
+        if terminated:
+            reason = TerminationReason(reason_code)
+            if params.verbosity >= 1:
+                from ..solve_log import termination_reason_to_string
+
+                print(
+                    f"Terminated after {eval_iteration + 1} iterations: "
+                    f"{termination_reason_to_string(reason)}"
+                )
+            return unscaled_saddle_point_output(
+                scaled_problem,
+                np.asarray(state.avg_primal_out),
+                np.asarray(state.avg_dual_out),
+                reason,
+                int(state.iterations_completed),
+                iteration_stats,
+            )

@@ -1,0 +1,140 @@
+"""Mirror Prox integration tests (reference test/test_mirror_prox.jl)."""
+
+import numpy as np
+import pytest
+
+from firstorderlp_tpu import (
+    MirrorProxParameters,
+    RestartScheme,
+    TerminationReason,
+    optimize,
+)
+
+from fixtures import (
+    example_lp,
+    example_lp_dual_infeasible,
+    example_lp_easy_primal_infeasible,
+    example_qp,
+)
+from utils import (
+    default_restart_params,
+    optimality_criteria,
+    terminate_on_iteration_limit,
+)
+
+LP_OPT_PRIMAL = np.array([1.0, 0.0, 6.0, 2.0])
+LP_OPT_DUAL = np.array([0.5, 4.0, 0.0])
+
+
+def mp_params(
+    criteria,
+    restart_params=None,
+    diagonal_scaling="off",
+    ruiz_iterations=0,
+    pock_chambolle_alpha=None,
+    primal_importance=1.0,
+    frequency=40,
+):
+    if restart_params is None:
+        restart_params = default_restart_params()
+    return MirrorProxParameters(
+        l_inf_ruiz_iterations=ruiz_iterations,
+        l2_norm_rescaling=False,
+        pock_chambolle_alpha=pock_chambolle_alpha,
+        primal_importance=primal_importance,
+        scale_invariant_initial_primal_weight=True,
+        diagonal_scaling=diagonal_scaling,
+        verbosity=0,
+        record_iteration_stats=True,
+        termination_evaluation_frequency=frequency,
+        termination_criteria=criteria,
+        restart_params=restart_params,
+    )
+
+
+def assert_lp_solved(output, tol):
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(output.primal_solution, LP_OPT_PRIMAL, atol=tol)
+    np.testing.assert_allclose(output.dual_solution, LP_OPT_DUAL, atol=tol)
+
+
+def test_lp_high_precision():
+    output = optimize(mp_params(optimality_criteria(1e-10)), example_lp())
+    assert_lp_solved(output, 1e-8)
+
+
+@pytest.mark.parametrize("scaling", ["off", "l1", "l2"])
+def test_lp_diagonal_scalings(scaling):
+    output = optimize(
+        mp_params(optimality_criteria(1e-9), diagonal_scaling=scaling),
+        example_lp(),
+    )
+    assert_lp_solved(output, 1e-7)
+
+
+def test_lp_no_restarts():
+    output = optimize(
+        mp_params(
+            optimality_criteria(1e-6),
+            restart_params=default_restart_params(RestartScheme.NO_RESTARTS),
+        ),
+        example_lp(),
+    )
+    assert_lp_solved(output, 1e-4)
+
+
+def test_lp_with_rescaling():
+    output = optimize(
+        mp_params(
+            optimality_criteria(1e-9),
+            ruiz_iterations=10,
+            pock_chambolle_alpha=1.0,
+        ),
+        example_lp(),
+    )
+    assert_lp_solved(output, 1e-7)
+
+
+def test_qp():
+    output = optimize(mp_params(optimality_criteria(1e-9)), example_qp())
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(output.primal_solution, [0.2, 0.8], atol=1e-7)
+    np.testing.assert_allclose(output.dual_solution, [0.2], atol=1e-7)
+
+
+def test_iteration_limit():
+    output = optimize(mp_params(terminate_on_iteration_limit(80)), example_lp())
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+    )
+    # KKT-pass accounting: 2 per iteration + 2 per evaluation.
+    final = output.iteration_stats[-1]
+    assert final.cumulative_kkt_matrix_passes >= 2 * 80
+
+
+def test_primal_infeasible():
+    output = optimize(
+        mp_params(optimality_criteria(1e-8)),
+        example_lp_easy_primal_infeasible(),
+    )
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
+    )
+
+
+def test_dual_infeasible():
+    output = optimize(
+        mp_params(optimality_criteria(1e-8)), example_lp_dual_infeasible()
+    )
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_DUAL_INFEASIBLE
+    )
