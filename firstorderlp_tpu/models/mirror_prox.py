@@ -397,9 +397,13 @@ def _initial_scalings(scaled_qp, diagonal_scaling: str,
 def optimize(
     params: MirrorProxParameters,
     original_problem: QuadraticProgrammingProblem,
+    _placement=None,
 ) -> SaddlePointOutput:
     """Solves a QP with saddle-point mirror prox
-    (reference optimize, mirror_prox.jl:610-919)."""
+    (reference optimize, mirror_prox.jl:610-919).
+
+    `_placement`: see pdhg.optimize - mesh-sharding hook for pytrees.
+    """
     validate(original_problem)
     validate_termination_criteria(params.termination_criteria)
 
@@ -477,6 +481,9 @@ def optimize(
         avg_primal_out=jnp.zeros(n, dtype),
         avg_dual_out=jnp.zeros(m, dtype),
     )
+
+    if _placement is not None:
+        bundle, state = _placement(bundle, state)
 
     config = _MpConfig(
         criteria=HashableCriteria.from_criteria(params.termination_criteria),

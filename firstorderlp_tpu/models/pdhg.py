@@ -680,9 +680,16 @@ def _run_segment(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
 
 
 def optimize(
-    params: PdhgParameters, original_problem: QuadraticProgrammingProblem
+    params: PdhgParameters,
+    original_problem: QuadraticProgrammingProblem,
+    _placement=None,
 ) -> SaddlePointOutput:
-    """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049)."""
+    """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049).
+
+    `_placement` is an internal hook used by parallel.sharded: a function
+    (bundle, state) -> (bundle, state) that device_puts all pytree leaves
+    with their mesh shardings before the segment loop starts.
+    """
     validate(original_problem)
     validate_termination_criteria(params.termination_criteria)
     if params.primal_importance <= 0 or not np.isfinite(
@@ -743,6 +750,9 @@ def optimize(
             cumulative_kkt_passes, jnp.float64
         ),
     )
+
+    if _placement is not None:
+        bundle, state = _placement(bundle, state)
 
     config = _PdhgConfig(
         criteria=HashableCriteria.from_criteria(params.termination_criteria),
