@@ -49,7 +49,6 @@ class EvalResult(NamedTuple):
 
 def evaluate_unscaled_stats(
     bundle,
-    qp_cache: CachedQuadraticProgramInfo,
     criteria: TerminationCriteria,
     avg_primal,
     avg_dual,
@@ -70,14 +69,15 @@ def evaluate_unscaled_stats(
             / np.float64(criteria.eps_optimal_relative)
         )
     conv = compute_convergence_information(
-        bundle.original, qp_cache, original_primal, original_dual, eps_ratio
+        bundle.original, bundle.qp_cache, original_primal, original_dual,
+        eps_ratio,
     )
     infeas = compute_infeasibility_information(
         bundle.original, original_primal, original_dual
     )
     reason = check_termination_criteria(
         criteria,
-        qp_cache,
+        bundle.qp_cache,
         conv,
         infeas,
         iteration_number,

@@ -53,13 +53,11 @@ from ..saddle_point import (
 from ..solve_log import PointType, RestartChoice, TerminationReason
 from ..termination import (
     TerminationCriteria,
-    cached_quadratic_program_info,
     validate_termination_criteria,
 )
 from .common import (
     EvalResult,
     HashableCriteria,
-    HashableQpCache,
     evaluate_unscaled_stats,
     initial_primal_weight_host,
     matrix_inf_norm_entrywise,
@@ -92,7 +90,6 @@ class MirrorProxParameters:
 @dataclasses.dataclass(frozen=True)
 class _MpConfig:
     criteria: HashableCriteria
-    qp_cache: HashableQpCache
     restart_params: RestartParameters
     termination_evaluation_frequency: int
 
@@ -251,7 +248,6 @@ def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
 
     conv, infeas, reason = evaluate_unscaled_stats(
         bundle,
-        config.qp_cache,
         criteria,
         avg_primal,
         avg_dual,
@@ -407,7 +403,6 @@ def optimize(
     validate(original_problem)
     validate_termination_criteria(params.termination_criteria)
 
-    qp_cache = cached_quadratic_program_info(original_problem)
     scaled_problem = rescale_problem(
         params.l_inf_ruiz_iterations,
         params.l2_norm_rescaling,
@@ -487,7 +482,6 @@ def optimize(
 
     config = _MpConfig(
         criteria=HashableCriteria.from_criteria(params.termination_criteria),
-        qp_cache=HashableQpCache.from_cache(qp_cache),
         restart_params=params.restart_params,
         termination_evaluation_frequency=int(
             params.termination_evaluation_frequency

@@ -55,14 +55,12 @@ from ..saddle_point import (
 )
 from ..solve_log import PointType, RestartChoice, TerminationReason
 from ..termination import (
-    cached_quadratic_program_info,
     validate_termination_criteria,
     TerminationCriteria,
 )
 from .common import (
     EvalResult,
     HashableCriteria,
-    HashableQpCache,
     estimate_maximum_singular_value,
     evaluate_unscaled_stats,
     initial_primal_weight_host,
@@ -129,7 +127,6 @@ class _PdhgConfig:
     """Hashable static configuration baked into the jitted segment."""
 
     criteria: HashableCriteria
-    qp_cache: HashableQpCache
     restart_params: RestartParameters
     step_policy: StepsizePolicy
     termination_evaluation_frequency: int
@@ -517,6 +514,10 @@ def _is_eval_iteration(iteration, config: _PdhgConfig):
 def _eval_block(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
                 config: _PdhgConfig):
     criteria = config.criteria.to_criteria()
+    # Idempotence for batched (vmapped) solves: a lane that terminated in a
+    # previous segment must not accumulate KKT passes or flip its reason.
+    entry_state = state
+    already_terminated = state.termination_reason != 0
     kkt = state.cumulative_kkt_passes + KKT_PASSES_PER_TERMINATION_EVALUATION
 
     has_avg = (
@@ -547,7 +548,6 @@ def _eval_block(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
 
     conv, infeas, reason = evaluate_unscaled_stats(
         bundle,
-        config.qp_cache,
         criteria,
         avg_primal,
         avg_dual,
@@ -629,31 +629,34 @@ def _eval_block(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
         avg_primal_out=avg_primal,
         avg_dual_out=avg_dual,
     )
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(already_terminated, a, b),
+        entry_state,
+        new_state,
+    )
     result = EvalResult(
         conv=conv,
         infeas=infeas,
         lagrangian_value=lagrangian,
         estimated_lower_bound=est_lb,
         estimated_upper_bound=est_ub,
-        termination_reason=reason,
+        termination_reason=new_state.termination_reason,
         restart_used=jnp.where(
-            terminated,
+            terminated | already_terminated,
             jnp.int32(RestartChoice.RESTART_CHOICE_UNSPECIFIED),
             restart.restart_choice,
         ),
         iteration=state.iteration - 1,
-        cumulative_kkt_passes=kkt,
+        cumulative_kkt_passes=new_state.cumulative_kkt_passes,
         step_size=state.step_size,
         primal_weight=state.primal_weight,
     )
     return new_state, result
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config",), donate_argnames=("state",)
-)
-def _run_segment(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
-                 config: _PdhgConfig):
+def _segment_core(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
+                  config: _PdhgConfig):
+    """One evaluation + the take_steps up to the next evaluation point."""
     state, result = _eval_block(bundle, state, elapsed_time, config)
 
     def steps(state):
@@ -672,6 +675,11 @@ def _run_segment(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
         state.termination_reason != 0, lambda s: s, steps, state
     )
     return state, result
+
+
+_run_segment = functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("state",)
+)(_segment_core)
 
 
 # ---------------------------------------------------------------------------
@@ -704,7 +712,6 @@ def optimize(
             " programming problems."
         )
 
-    qp_cache = cached_quadratic_program_info(original_problem)
     scaled_problem = rescale_problem(
         params.l_inf_ruiz_iterations,
         params.l2_norm_rescaling,
@@ -756,7 +763,6 @@ def optimize(
 
     config = _PdhgConfig(
         criteria=HashableCriteria.from_criteria(params.termination_criteria),
-        qp_cache=HashableQpCache.from_cache(qp_cache),
         restart_params=params.restart_params,
         step_policy=params.step_size_policy_params,
         termination_evaluation_frequency=int(

@@ -9,7 +9,7 @@ unscaled original problem, reference src/iteration_stats_utils.jl:413-451).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +17,17 @@ import numpy as np
 
 from ..problem import QuadraticProgrammingProblem, ScaledQpProblem
 from .linops import LinOp, build_linop, matvec, rmatvec
+
+
+class DeviceQpCache(NamedTuple):
+    """Norms of c and b of the original problem, cached once per solve
+    (reference src/termination.jl:140-158). Kept as data (not static
+    config) so vmapped batch solves can carry per-instance values."""
+
+    l_inf_norm_primal_linear_objective: jax.Array
+    l_inf_norm_primal_right_hand_side: jax.Array
+    l2_norm_primal_linear_objective: jax.Array
+    l2_norm_primal_right_hand_side: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -64,6 +75,7 @@ class DeviceScaledQp:
     original: DeviceQp
     constraint_rescaling: jax.Array  # (m,)
     variable_rescaling: jax.Array  # (n,)
+    qp_cache: DeviceQpCache
 
 
 def to_device(
@@ -96,6 +108,22 @@ def to_device_scaled(
     dtype=jnp.float64,
     format: str = "auto",
 ) -> DeviceScaledQp:
+    c = np.asarray(scaled_problem.original_qp.objective_vector, np.float64)
+    b = np.asarray(scaled_problem.original_qp.right_hand_side, np.float64)
+    qp_cache = DeviceQpCache(
+        l_inf_norm_primal_linear_objective=jnp.asarray(
+            np.max(np.abs(c)) if c.size else 0.0, dtype
+        ),
+        l_inf_norm_primal_right_hand_side=jnp.asarray(
+            np.max(np.abs(b)) if b.size else 0.0, dtype
+        ),
+        l2_norm_primal_linear_objective=jnp.asarray(
+            np.linalg.norm(c), dtype
+        ),
+        l2_norm_primal_right_hand_side=jnp.asarray(
+            np.linalg.norm(b), dtype
+        ),
+    )
     return DeviceScaledQp(
         scaled=to_device(scaled_problem.scaled_qp, dtype, format),
         original=to_device(scaled_problem.original_qp, dtype, format),
@@ -105,4 +133,5 @@ def to_device_scaled(
         variable_rescaling=jnp.asarray(
             scaled_problem.variable_rescaling, dtype
         ),
+        qp_cache=qp_cache,
     )

@@ -1,0 +1,91 @@
+"""Batched (vmapped) solve tests: consistency with individual solves."""
+
+import numpy as np
+import pytest
+
+from firstorderlp_tpu import TerminationReason, optimize
+from firstorderlp_tpu.batch import solve_batch
+from firstorderlp_tpu.generators import (
+    generate_l1_svm_lp,
+    random_svm_data,
+)
+
+from fixtures import (
+    example_cc_lp,
+    example_lp,
+    example_lp_easy_primal_infeasible,
+    example_qp,
+    example_qp2,
+)
+from utils import optimality_criteria, pdhg_params
+
+
+def test_batch_matches_individual_solves():
+    problems = [example_lp(), example_cc_lp()]
+    params = pdhg_params(optimality_criteria(1e-9))
+    params.matrix_format = "dense"
+    outputs = solve_batch(params, problems)
+    assert len(outputs) == 2
+    for problem, out in zip(problems, outputs):
+        single = optimize(params, problem)
+        assert (
+            out.termination_reason
+            == TerminationReason.TERMINATION_REASON_OPTIMAL
+        )
+        np.testing.assert_allclose(
+            out.primal_solution, single.primal_solution, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out.dual_solution, single.dual_solution, atol=1e-6
+        )
+
+
+def test_batch_mixed_termination():
+    problems = [example_lp(), example_lp_easy_primal_infeasible()]
+    params = pdhg_params(optimality_criteria(1e-8))
+    outputs = solve_batch(params, problems)
+    assert (
+        outputs[0].termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    assert (
+        outputs[1].termination_reason
+        == TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
+    )
+
+
+def test_batch_qps():
+    problems = [example_qp(), example_qp2()]
+    params = pdhg_params(optimality_criteria(1e-9))
+    outputs = solve_batch(params, problems)
+    np.testing.assert_allclose(
+        outputs[0].primal_solution, [0.2, 0.8], atol=1e-7
+    )
+    np.testing.assert_allclose(
+        outputs[1].primal_solution, [0.25, 0.0], atol=1e-7
+    )
+
+
+def test_batch_l1_svm_fleet():
+    """Fleet of L1-SVM LPs with different regularizer weights (the
+    BASELINE.json vmapped-batch config)."""
+    data = random_svm_data(n_samples=30, n_features=8, density=0.4, seed=1)
+    problems = [
+        generate_l1_svm_lp(data, regularizer_weight=w)
+        for w in (0.1, 1.0, 4.0)
+    ]
+    params = pdhg_params(
+        optimality_criteria(1e-6), ruiz_iterations=10, pock_chambolle_alpha=1.0
+    )
+    outputs = solve_batch(params, problems)
+    objs = []
+    for out in outputs:
+        assert (
+            out.termination_reason
+            == TerminationReason.TERMINATION_REASON_OPTIMAL
+        )
+        objs.append(
+            out.iteration_stats[-1].convergence_information[0].primal_objective
+        )
+    # Stronger regularization cannot decrease the optimal objective.
+    assert objs[0] <= objs[1] + 1e-5 <= objs[2] + 2e-5
