@@ -31,6 +31,17 @@ def main():
     iteration_limit = int(os.environ.get("BENCH_ITERS", 2000))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
 
+    # Persistent compilation cache: first-ever bench run pays the XLA
+    # compile (minutes over the axon tunnel), later runs reuse it.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from firstorderlp_tpu import (
         AdaptiveStepsizeParams,
         PdhgParameters,
@@ -87,6 +98,9 @@ def main():
                 reduction_exponent=0.3, growth_exponent=0.6
             ),
             dtype=dtype,
+            # Amortize host<->device round trips: ~50 evaluations (2000
+            # iterations at frequency 40) per dispatch.
+            evaluations_per_dispatch=64,
         )
 
     # Warmup solve (compiles the segment); identical static config so the

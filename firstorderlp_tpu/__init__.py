@@ -15,11 +15,21 @@ solvers for linear and quadratic programming), designed TPU-first:
 Reference semantics: /root/reference (FirstOrderLp.jl), cited per-module.
 """
 
+import os as _os
+
 import jax
 
 # 1e-8 relative KKT tolerances require float64 accumulations; enable x64
 # before any arrays are created (reference solves entirely in Float64).
 jax.config.update("jax_enable_x64", True)
+
+# Honor JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
+# tunnel) would otherwise take precedence over the env var.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized; keep its choice.
+        pass
 
 from .problem import (  # noqa: E402
     QuadraticProgrammingProblem,

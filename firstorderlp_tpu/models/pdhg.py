@@ -120,6 +120,14 @@ class PdhgParameters:
     # TPU knobs (no reference counterpart):
     dtype: str = "float64"
     matrix_format: str = "auto"  # "auto" | "dense" | "ell"
+    # Number of evaluation segments fused into one device dispatch. 1
+    # reproduces the reference cadence exactly (stats visible at every
+    # evaluation); larger values amortize host<->device latency: the
+    # device loops [evaluate -> step*freq] up to this many times or until
+    # termination, and only the final evaluation's stats are reported.
+    # The wall-clock fed to the device time-limit check is refreshed per
+    # dispatch, so time limits are enforced at dispatch granularity.
+    evaluations_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -682,6 +690,32 @@ _run_segment = functools.partial(
 )(_segment_core)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "num_segments"),
+    donate_argnames=("state",),
+)
+def _run_segments(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
+                  config: _PdhgConfig, num_segments: int):
+    """Fuses up to `num_segments` [evaluate -> steps] segments in one
+    dispatch, early-exiting on termination. Returns the last EvalResult."""
+    state, result = _segment_core(bundle, state, elapsed_time, config)
+
+    def cond(carry):
+        state, result, k = carry
+        return (result.termination_reason == 0) & (k < num_segments)
+
+    def body(carry):
+        state, _, k = carry
+        state, result = _segment_core(bundle, state, elapsed_time, config)
+        return (state, result, k + 1)
+
+    state, result, _ = jax.lax.while_loop(
+        cond, body, (state, result, jnp.int64(1))
+    )
+    return state, result
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
@@ -775,12 +809,22 @@ def optimize(
     iteration_stats = []
     start_time = time.time()
     basic_algorithm_time = 0.0
+    evals_per_dispatch = max(1, int(params.evaluations_per_dispatch))
     while True:
         elapsed = time.time() - start_time
         segment_start = time.time()
-        state, result = _run_segment(
-            bundle, state, jnp.asarray(elapsed, jnp.float64), config
-        )
+        if evals_per_dispatch == 1:
+            state, result = _run_segment(
+                bundle, state, jnp.asarray(elapsed, jnp.float64), config
+            )
+        else:
+            state, result = _run_segments(
+                bundle,
+                state,
+                jnp.asarray(elapsed, jnp.float64),
+                config,
+                evals_per_dispatch,
+            )
         reason_code = int(result.termination_reason)
         terminated = reason_code != 0
         eval_iteration = int(result.iteration)  # = displayed iteration - 1

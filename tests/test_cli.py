@@ -1,0 +1,174 @@
+"""End-to-end CLI smoke tests (the reference runs these in CI:
+.github/workflows/CI.yml: solve_qp.jl on trivial_lp_model.mps, then the
+JSON->CSV aggregation with an expected row count)."""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "tests", "test_data")
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+
+
+def run(cmd):
+    result = subprocess.run(
+        cmd, capture_output=True, text=True, env=ENV, cwd=REPO
+    )
+    assert result.returncode == 0, result.stderr + result.stdout
+    return result
+
+
+@pytest.fixture(scope="module")
+def solved_dir(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("logs"))
+    run(
+        [
+            sys.executable,
+            "cli/solve_qp.py",
+            "--instance_path",
+            os.path.join(DATA, "trivial_lp.mps"),
+            "--output_dir",
+            out_dir,
+            "--method",
+            "pdhg",
+            "--absolute_optimality_tol",
+            "1e-8",
+            "--relative_optimality_tol",
+            "1e-8",
+            "--verbosity",
+            "0",
+        ]
+    )
+    return out_dir
+
+
+def test_solve_qp_cli_outputs(solved_dir):
+    files = sorted(os.listdir(solved_dir))
+    assert "trivial_lp_summary.json" in files
+    assert "trivial_lp_full_log.json.gz" in files
+    assert "trivial_lp_primal.txt" in files
+    assert "trivial_lp_dual.txt" in files
+
+    with open(os.path.join(solved_dir, "trivial_lp_summary.json")) as f:
+        summary = json.load(f)
+    assert summary["termination_reason"] == "TERMINATION_REASON_OPTIMAL"
+    assert summary["instance_name"] == "trivial_lp"
+    assert len(summary["solution_stats"]["convergence_information"]) == 1
+
+    primal = np.loadtxt(os.path.join(solved_dir, "trivial_lp_primal.txt"))
+    # min 2x - y, x+y<=3, 0<=x<=1, 1<=y<=2 -> x=0, y=2.
+    np.testing.assert_allclose(primal, [0.0, 2.0], atol=1e-4)
+
+
+def test_process_json_to_csv_and_analysis(solved_dir, tmp_path):
+    layout = {
+        "datasets": [
+            {
+                "config": {"solver": "pdhg", "tolerance": "1e-8"},
+                "logs_directory": solved_dir,
+            }
+        ],
+        "config_labels": ["solver", "tolerance"],
+    }
+    layout_path = str(tmp_path / "layout.json")
+    with open(layout_path, "w") as f:
+        json.dump(layout, f)
+    csv_path = str(tmp_path / "dataset.csv")
+    run([sys.executable, "cli/process_json_to_csv.py", layout_path, csv_path])
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert rows[0]["experiment_label"] == "pdhg,1e-8"
+    assert rows[0]["instance_name"] == "trivial_lp"
+    assert rows[0]["termination_reason"] == "TERMINATION_REASON_OPTIMAL"
+    assert float(rows[0]["cumulative_kkt_matrix_passes"]) > 0
+
+    result = run(
+        [sys.executable, "cli/analyze_results.py", csv_path]
+    )
+    lines = result.stdout.strip().splitlines()
+    assert lines[0].startswith("experiment_label")
+    assert lines[1].startswith('"pdhg,1e-8",1,1,')
+
+
+def test_generator_clis_roundtrip(tmp_path):
+    mps_path = str(tmp_path / "pagerank.mps.gz")
+    run(
+        [
+            sys.executable,
+            "cli/generate_pagerank_lp.py",
+            "--num_nodes",
+            "30",
+            "--approx_num_edges",
+            "90",
+            "--output_filename",
+            mps_path,
+        ]
+    )
+    out_dir = str(tmp_path / "out")
+    run(
+        [
+            sys.executable,
+            "cli/solve_qp.py",
+            "--instance_path",
+            mps_path,
+            "--output_dir",
+            out_dir,
+            "--method",
+            "pdhg",
+            "--absolute_optimality_tol",
+            "1e-7",
+            "--relative_optimality_tol",
+            "1e-7",
+            "--verbosity",
+            "0",
+        ]
+    )
+    with open(os.path.join(out_dir, "pagerank_summary.json")) as f:
+        summary = json.load(f)
+    assert summary["termination_reason"] == "TERMINATION_REASON_OPTIMAL"
+    primal = np.loadtxt(os.path.join(out_dir, "pagerank_primal.txt"))
+    assert primal.sum() == pytest.approx(1.0, abs=1e-3)
+
+    svm_path = str(tmp_path / "svm.mps")
+    run(
+        [
+            sys.executable,
+            "cli/generate_l1_svm_lp.py",
+            "--synthetic",
+            "20,5",
+            "--output_filename",
+            svm_path,
+            "--regularizer_weight",
+            "1.0",
+        ]
+    )
+    out_dir2 = str(tmp_path / "out2")
+    run(
+        [
+            sys.executable,
+            "cli/solve_qp.py",
+            "--instance_path",
+            svm_path,
+            "--output_dir",
+            out_dir2,
+            "--method",
+            "mirror-prox",
+            "--absolute_optimality_tol",
+            "1e-6",
+            "--relative_optimality_tol",
+            "1e-6",
+            "--verbosity",
+            "0",
+        ]
+    )
+    with open(os.path.join(out_dir2, "svm_summary.json")) as f:
+        summary = json.load(f)
+    assert summary["termination_reason"] == "TERMINATION_REASON_OPTIMAL"
