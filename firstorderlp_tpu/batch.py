@@ -39,8 +39,7 @@ from .solve_log import PointType, RestartChoice, TerminationReason
 from .iteration_stats import to_host_stats
 
 
-@functools.partial(jax.jit, static_argnames=("config",),
-                   donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("config",),)
 def _run_segment_batched(bundle, state, elapsed_time, config):
     return jax.vmap(
         lambda b, s: _pdhg._segment_core(b, s, elapsed_time, config)

@@ -28,32 +28,44 @@ def barabasi_albert_graph(num_nodes: int, degree: int, seed: int = 0):
     if degree < 1 or degree >= num_nodes:
         raise ValueError("need 1 <= degree < num_nodes")
     rng = np.random.default_rng(seed)
-    sources = []
-    targets = []
-    # Attachment pool: nodes repeated once per incident edge.
-    repeated = []
+    num_new = num_nodes - degree
+    max_edges = degree * num_new
+    sources = np.empty(max_edges, dtype=np.int64)
+    targets = np.empty(max_edges, dtype=np.int64)
+    # Attachment pool: nodes repeated once per incident edge. Preallocated;
+    # the per-node work is a constant number of vectorized numpy calls
+    # (oversample with replacement, keep the first `degree` distinct picks).
+    pool = np.empty(2 * max_edges, dtype=np.int64)
+    pool_len = 0
+    num_edges = 0
     for v in range(degree, num_nodes):
-        if not repeated:
+        if pool_len == 0:
             # First new node connects to all initial nodes.
-            chosen = np.arange(degree)
+            chosen = np.arange(degree, dtype=np.int64)
         else:
-            chosen = set()
-            pool = np.asarray(repeated)
-            while len(chosen) < degree:
-                picks = rng.choice(pool, size=degree)
-                for p in picks:
-                    chosen.add(int(p))
-                    if len(chosen) == degree:
-                        break
-            chosen = np.fromiter(chosen, dtype=np.int64)
-        for u in chosen:
-            sources.append(v)
-            targets.append(int(u))
-            repeated.append(v)
-            repeated.append(int(u))
-    rows = np.asarray(sources + targets)
-    cols = np.asarray(targets + sources)
-    data = np.ones(len(rows))
+            oversample = 4 * degree + 8
+            picks = rng.integers(0, pool_len, size=oversample)
+            cand = pool[picks]
+            _, first_idx = np.unique(cand, return_index=True)
+            if first_idx.size >= degree:
+                chosen = cand[np.sort(first_idx)[:degree]]
+            else:  # rare: fall back to exact without-replacement sampling
+                uniq = np.unique(pool[:pool_len])
+                chosen = rng.choice(
+                    uniq, size=min(degree, uniq.size), replace=False
+                )
+        k = chosen.size
+        sources[num_edges : num_edges + k] = v
+        targets[num_edges : num_edges + k] = chosen
+        pool[pool_len : pool_len + k] = v
+        pool[pool_len + k : pool_len + 2 * k] = chosen
+        pool_len += 2 * k
+        num_edges += k
+    sources = sources[:num_edges]
+    targets = targets[:num_edges]
+    rows = np.concatenate([sources, targets])
+    cols = np.concatenate([targets, sources])
+    data = np.ones(rows.shape[0])
     adj = sp.csr_matrix((data, (rows, cols)), shape=(num_nodes, num_nodes))
     adj.sum_duplicates()
     adj.data[:] = 1.0

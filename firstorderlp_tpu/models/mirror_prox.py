@@ -335,7 +335,7 @@ def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config",), donate_argnames=("state",)
+    jax.jit, static_argnames=("config",)
 )
 def _run_segment(bundle: DeviceScaledQp, state: MirrorProxState,
                  elapsed_time, config: _MpConfig):

@@ -128,6 +128,12 @@ class PdhgParameters:
     # The wall-clock fed to the device time-limit check is refreshed per
     # dispatch, so time limits are enforced at dispatch granularity.
     evaluations_per_dispatch: int = 1
+    # Checkpoint/resume (no reference counterpart; required for
+    # preemptible TPU runs). The full solver state is a small pytree, so
+    # checkpoints are cheap .npz writes from the host loop.
+    checkpoint_path: Optional[str] = None
+    checkpoint_every_n_dispatches: int = 1
+    resume_from_checkpoint: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -686,14 +692,13 @@ def _segment_core(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
 
 
 _run_segment = functools.partial(
-    jax.jit, static_argnames=("config",), donate_argnames=("state",)
+    jax.jit, static_argnames=("config",)
 )(_segment_core)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "num_segments"),
-    donate_argnames=("state",),
 )
 def _run_segments(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
                   config: _PdhgConfig, num_segments: int):
@@ -792,6 +797,19 @@ def optimize(
         ),
     )
 
+    elapsed_offset = 0.0
+    if params.resume_from_checkpoint:
+        from ..checkpoint import load_state
+
+        state, elapsed_offset, _ = load_state(
+            params.resume_from_checkpoint, state
+        )
+        # The previous run's termination (e.g. its iteration limit) does
+        # not apply to this run's criteria; re-evaluate from scratch.
+        state = dataclasses.replace(
+            state, termination_reason=jnp.int32(0)
+        )
+
     if _placement is not None:
         bundle, state = _placement(bundle, state)
 
@@ -807,9 +825,10 @@ def optimize(
     display_iteration_stats_heading(params.verbosity)
 
     iteration_stats = []
-    start_time = time.time()
+    start_time = time.time() - elapsed_offset
     basic_algorithm_time = 0.0
     evals_per_dispatch = max(1, int(params.evaluations_per_dispatch))
+    dispatch_count = 0
     while True:
         elapsed = time.time() - start_time
         segment_start = time.time()
@@ -829,6 +848,20 @@ def optimize(
         terminated = reason_code != 0
         eval_iteration = int(result.iteration)  # = displayed iteration - 1
         basic_algorithm_time += time.time() - segment_start
+        dispatch_count += 1
+        if params.checkpoint_path and (
+            dispatch_count % max(1, params.checkpoint_every_n_dispatches)
+            == 0
+            or terminated
+        ):
+            from ..checkpoint import save_state
+
+            save_state(
+                params.checkpoint_path,
+                state,
+                elapsed_time=time.time() - start_time,
+                metadata={"iteration": eval_iteration + 1},
+            )
 
         method_specific_stats = {
             "time_spent_doing_basic_algorithm": basic_algorithm_time,

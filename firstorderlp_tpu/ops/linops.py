@@ -6,14 +6,28 @@ Two TPU-friendly layouts:
   Best for small/medium problems (Netlib-scale), where densifying is
   cheaper than irregular gathers.
 
-- SparseOp: a padded, bucketed ELL layout. Rows are grouped into buckets by
-  power-of-two nnz; each bucket stores (rows_b, k) column-index and value
-  planes. A matvec is `(vals * x[cols]).sum(axis=1)` per bucket - a
-  vectorized gather plus a dense reduction, both of which map onto the TPU
-  VPU with static shapes - followed by one inverse-permutation gather.
-  Transposed products use a second ELL built from A^T (both orientations
-  are stored; HBM cost 2x nnz, the same trade the reference's CSC makes
-  implicitly by iterating columns for A'y).
+- SparseOp: a padded, bucketed ELL layout. Rows are grouped into buckets
+  by power-of-two nnz; each bucket stores (rows_b, k) column-index and
+  value planes. A matvec is `(vals * x[cols]).sum(axis=1)` per bucket -
+  one vectorized gather plus a dense K-wide reduction - followed by one
+  inverse-permutation gather to restore row order. Transposed products
+  use a second ELL built from A^T (both orientations are stored; HBM
+  cost 2x nnz, the same trade the reference's CSC makes implicitly by
+  iterating columns for A'y).
+
+  Why ELL and not flat CSR + segment_sum: on TPU, XLA lowers both gather
+  and scatter/segment-sum to ~1e8 indices/s serialized loops (measured
+  on v5e); ELL needs ONE gather per bucket and does the row reduction as
+  a dense sum, so a matvec costs one index pass instead of two. The
+  gather itself is the remaining bottleneck - a Pallas routing kernel is
+  the planned next step (docs/performance.md).
+
+  Lowering pitfalls this file avoids (measured): `jnp.take`'s index
+  normalization costs extra under x64, so the gather is a raw
+  `lax.gather` with PROMISE_IN_BOUNDS (indices validated host-side);
+  index arrays must always be jit ARGUMENTS (constant-captured operands
+  hit a much slower constant-gather path) - they live in a pytree
+  dataclass that is always passed as an argument.
 
 Reference call sites these replace: `problem.constraint_matrix * x` and
 `problem.constraint_matrix' * y` (src/saddle_point.jl:1089,1106;
@@ -29,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax import lax
 
 
 @jax.tree_util.register_dataclass
@@ -49,6 +64,27 @@ class DenseOp:
         return y @ self.a
 
 
+def _gather_1d(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """x[idx] (idx any shape) via raw lax.gather, PROMISE_IN_BOUNDS.
+
+    Indices are validated in-bounds at build time (host side), so the
+    clip/normalization arithmetic of jnp.take is skipped.
+    """
+    flat = idx.reshape(-1)
+    out = lax.gather(
+        x[:, None],
+        flat[:, None],
+        lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )[:, 0]
+    return out.reshape(idx.shape)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EllBucket:
@@ -66,11 +102,11 @@ class EllHalf:
 
     def mv(self, x: jax.Array) -> jax.Array:
         parts = [
-            (b.vals * jnp.take(x, b.cols, axis=0)).sum(axis=1)
+            (b.vals * _gather_1d(x, b.cols)).sum(axis=1)
             for b in self.buckets
         ]
         concat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        return jnp.take(concat, self.inv_perm, axis=0)
+        return _gather_1d(concat, self.inv_perm)
 
 
 @jax.tree_util.register_dataclass
@@ -191,7 +227,8 @@ def build_linop(
 ) -> LinOp:
     """Chooses a device layout for `matrix`.
 
-    format: "dense", "ell", or "auto" (dense when m*n <= dense_size_limit).
+    format: "dense", "sparse" (or legacy "ell"), or "auto" (dense when
+    m*n <= dense_size_limit).
     """
     m, n = matrix.shape
     if format == "dense" or (format == "auto" and m * n <= dense_size_limit):

@@ -107,7 +107,8 @@ def _place_linop(op, mesh: Mesh, row_spec: P, col_spec: P):
         )
     if isinstance(op, SparseOp):
         # ELL planes: shard the row dimension of each orientation; the
-        # gathered operand (x for fwd, y for bwd) is all-gathered by GSPMD.
+        # gathered operand (x for fwd, y for bwd) is all-gathered by
+        # GSPMD and the per-bucket outputs stay sharded by rows.
         def place_half(half: EllHalf, axis):
             return EllHalf(
                 buckets=tuple(

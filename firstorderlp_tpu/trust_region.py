@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -208,28 +209,44 @@ def bound_optimal_objective(
     dual_ub = jnp.full_like(dual_solution, jnp.inf)
 
     if use_max_norm:
-        primal_result = solve_bound_constrained_trust_region(
-            primal_solution,
-            primal_gradient,
-            problem.variable_lower_bound,
-            problem.variable_upper_bound,
-            primal_norm_weights,
-            distance_to_optimality,
-            solve_approximately,
+        # The primal (n) and dual (m) subproblems are independent; batch
+        # them into ONE vmapped trust-region solve of shape (2, max(n, m))
+        # to halve the op count (TPU evals are dispatch-bound at Netlib
+        # scale). Padded slots use c=l=u=0, g=0, w=1: frozen, zero
+        # contribution to both the radius and the objective value.
+        n = primal_solution.shape[0]
+        m = dual_solution.shape[0]
+        size = max(n, m)
+        dt = primal_solution.dtype
+
+        def pad(v, fill=0.0):
+            return jnp.pad(v, (0, size - v.shape[0]), constant_values=fill)
+
+        centers = jnp.stack([pad(primal_solution), pad(dual_solution)])
+        gradients = jnp.stack([pad(primal_gradient), pad(-dual_gradient)])
+        lbs = jnp.stack(
+            [pad(problem.variable_lower_bound), pad(dual_lb)]
         )
-        dual_result = solve_bound_constrained_trust_region(
-            dual_solution,
-            -dual_gradient,
-            dual_lb,
-            dual_ub,
-            dual_norm_weights,
-            distance_to_optimality,
-            solve_approximately,
+        ubs = jnp.stack(
+            [pad(problem.variable_upper_bound), pad(dual_ub)]
         )
+        weights = jnp.stack(
+            [pad(primal_norm_weights, 1.0), pad(dual_norm_weights, 1.0)]
+        )
+        radii = jnp.stack(
+            [
+                jnp.asarray(distance_to_optimality, dt),
+                jnp.asarray(distance_to_optimality, dt),
+            ]
+        )
+        result = jax.vmap(
+            solve_bound_constrained_trust_region,
+            in_axes=(0, 0, 0, 0, 0, 0, None),
+        )(centers, gradients, lbs, ubs, weights, radii, solve_approximately)
         return ObjectiveBound(
             lagrangian_value=lagrangian_value,
-            lower_bound_value=lagrangian_value + primal_result.value,
-            upper_bound_value=lagrangian_value - dual_result.value,
+            lower_bound_value=lagrangian_value + result.value[0],
+            upper_bound_value=lagrangian_value - result.value[1],
         )
 
     z = jnp.concatenate([primal_solution, dual_solution])
@@ -251,4 +268,63 @@ def bound_optimal_objective(
         + jnp.sum((primal_tr - primal_solution) * primal_gradient),
         upper_bound_value=lagrangian_value
         + jnp.sum((dual_tr - dual_solution) * dual_gradient),
+    )
+
+
+def bound_optimal_objective_euclidean_batched(
+    problem,
+    primal_solutions,  # (B, n)
+    dual_solutions,  # (B, m)
+    primal_norm_weights,  # (n,)
+    dual_norm_weights,  # (m,)
+    radii,  # (B,)
+    solve_approximately: bool = False,
+) -> ObjectiveBound:
+    """Euclidean-ball localized gaps at B points in one batched solve.
+
+    Semantically identical to B independent bound_optimal_objective calls
+    with use_max_norm=False (reference trust_region_utils.jl:271-360), but
+    the matvecs and the trust-region solve are vmapped so the whole batch
+    costs one op sequence. Used by the restart scheme, which needs the gap
+    at 2-3 points per evaluation (average, current, last restart).
+    """
+    qx = jax.vmap(problem.qx)(primal_solutions)
+    aty = jax.vmap(problem.aty)(dual_solutions)
+    ax = jax.vmap(problem.ax)(primal_solutions)
+
+    primal_gradient = qx + problem.objective_vector[None, :] - aty
+    dual_gradient = problem.right_hand_side[None, :] - ax
+    lagrangian_value = (
+        0.5 * jnp.sum(primal_solutions * qx, axis=1)
+        + primal_solutions @ problem.objective_vector
+        - jnp.sum(primal_solutions * aty, axis=1)
+        + dual_solutions @ problem.right_hand_side
+        + problem.objective_constant
+    )
+
+    b = primal_solutions.shape[0]
+    dual_lb = jnp.where(problem.is_equality, -jnp.inf, 0.0)
+    dual_ub = jnp.full_like(dual_solutions[0], jnp.inf)
+
+    z = jnp.concatenate([primal_solutions, dual_solutions], axis=1)
+    z_gradient = jnp.concatenate([primal_gradient, -dual_gradient], axis=1)
+    z_lb = jnp.concatenate([problem.variable_lower_bound, dual_lb])
+    z_ub = jnp.concatenate([problem.variable_upper_bound, dual_ub])
+    weights = jnp.concatenate([primal_norm_weights, dual_norm_weights])
+
+    result = jax.vmap(
+        solve_bound_constrained_trust_region,
+        in_axes=(0, 0, None, None, None, 0, None),
+    )(z, z_gradient, z_lb, z_ub, weights, radii, solve_approximately)
+
+    n = primal_solutions.shape[1]
+    primal_tr = result.solution[:, :n]
+    dual_tr = result.solution[:, n:]
+    del b
+    return ObjectiveBound(
+        lagrangian_value=lagrangian_value,
+        lower_bound_value=lagrangian_value
+        + jnp.sum((primal_tr - primal_solutions) * primal_gradient, axis=1),
+        upper_bound_value=lagrangian_value
+        + jnp.sum((dual_tr - dual_solutions) * dual_gradient, axis=1),
     )
