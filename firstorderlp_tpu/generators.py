@@ -112,6 +112,31 @@ def generate_pagerank_lp(
     )
 
 
+def generate_pagerank_lp_fleet(
+    num_nodes: int,
+    damping_factors,
+    approx_num_edges: int | None = None,
+    seed: int = 0,
+):
+    """A fleet of PageRank LPs on ONE graph with varying damping factors.
+
+    All instances share the sparsity pattern of A = [sqrt(n) 1'; I - d S]
+    (the pattern of I - d S is independent of d for d != 0), which makes
+    the fleet eligible for the shared-pattern batched solver
+    (batch.solve_batch_shared_pattern): one gather schedule serves every
+    instance. Typical scenario sweep for PageRank sensitivity analysis.
+    """
+    return [
+        generate_pagerank_lp(
+            num_nodes=num_nodes,
+            approx_num_edges=approx_num_edges,
+            damping_factor=float(d),
+            seed=seed,
+        )
+        for d in damping_factors
+    ]
+
+
 @dataclasses.dataclass
 class SvmTrainingData:
     feature_matrix: sp.csc_matrix  # (n_samples, n_features)

@@ -341,21 +341,26 @@ def _run_segment(bundle: DeviceScaledQp, state: MirrorProxState,
                  elapsed_time, config: _MpConfig):
     state, result = _eval_block(bundle, state, elapsed_time, config)
 
-    def steps(state):
-        def body(s):
-            s = _take_step(bundle.scaled, s)
-            return dataclasses.replace(s, iteration=s.iteration + 1)
+    # Termination freeze folded into the while predicate instead of a
+    # lax.cond wrapper: a batched-predicate cond around a while_loop
+    # de-vectorizes under vmap (see pdhg._segment_core).
+    start_iteration = state.iteration
 
-        def cond(s):
-            return ~s.numerical_error & ~_is_eval_iteration(
-                s.iteration, config
+    def body(s):
+        s = _take_step(bundle.scaled, s)
+        return dataclasses.replace(s, iteration=s.iteration + 1)
+
+    def cond(s):
+        return (
+            (s.termination_reason == 0)
+            & ~s.numerical_error
+            & (
+                (s.iteration == start_iteration)
+                | ~_is_eval_iteration(s.iteration, config)
             )
+        )
 
-        return jax.lax.while_loop(cond, body, body(state))
-
-    state = jax.lax.cond(
-        state.termination_reason != 0, lambda s: s, steps, state
-    )
+    state = jax.lax.while_loop(cond, body, state)
     return state, result
 
 

@@ -273,94 +273,72 @@ def _interaction_and_movement(problem, state, next_x, next_y, next_aty):
 def _take_step_adaptive(
     problem, state: PdhgState, params: AdaptiveStepsizeParams
 ) -> PdhgState:
-    """PDLP adaptive step-size rule (reference pdhg.jl:649-731).
+    """ONE accept/reject trial of the PDLP adaptive step-size rule
+    (reference pdhg.jl:649-731). Each trial costs one KKT pass. Accept
+    iff step_size <= movement / interaction; on accept the iterate and
+    `iteration` advance, on reject only the step size shrinks and the
+    caller's steps loop retries.
 
-    Inner accept/reject loop as a lax.while_loop; each trial costs one KKT
-    pass. Accept iff step_size <= movement / interaction.
+    Deliberately NOT an inner while_loop: the retry loop is flattened
+    into the caller's (single-level) steps loop so vmapped batched
+    solves stay vectorized - a batched-predicate while_loop nested
+    inside another one serializes under vmap (measured ~30x on v5e).
+    The KKT-pass and total_number_iterations accounting is identical to
+    the reference's inner loop.
     """
-    zeros_x = jnp.zeros_like(state.current_primal_solution)
-    zeros_y = jnp.zeros_like(state.current_dual_solution)
-
-    Carry = lambda **kw: kw  # noqa: E731 - readable dict carries
-
-    def cond(c):
-        return ~c["done"] & ~c["numerical_error"]
-
-    def body(c):
-        total = c["total_number_iterations"] + 1
-        step_size = c["step_size"]
-        next_x = _compute_next_primal(
-            problem,
-            state.current_primal_solution,
-            state.current_dual_product,
-            step_size,
-            state.primal_weight,
-        )
-        next_y, next_aty = _compute_next_dual(
-            problem,
-            state.current_primal_solution,
-            next_x,
-            state.current_dual_solution,
-            step_size,
-            state.primal_weight,
-        )
-        interaction, movement = _interaction_and_movement(
-            problem, state, next_x, next_y, next_aty
-        )
-        kkt = c["cumulative_kkt_passes"] + 1.0
-        numerical_error = movement == 0.0
-        step_size_limit = jnp.where(
-            interaction > 0,
-            movement / jnp.where(interaction > 0, interaction, 1.0),
-            jnp.inf,
-        )
-        accept = (step_size <= step_size_limit) & ~numerical_error
-
-        total_f = total.astype(step_size.dtype)
-        first_term = (
-            1 - (total_f + 1.0) ** (-params.reduction_exponent)
-        ) * step_size_limit
-        second_term = (
-            1 + (total_f + 1.0) ** (-params.growth_exponent)
-        ) * step_size
-        new_step_size = jnp.where(
-            numerical_error, step_size, jnp.minimum(first_term, second_term)
-        )
-        return Carry(
-            step_size=new_step_size,
-            done=accept,
-            numerical_error=numerical_error,
-            total_number_iterations=total,
-            cumulative_kkt_passes=kkt,
-            next_x=next_x,
-            next_y=next_y,
-            next_aty=next_aty,
-        )
-
-    init = Carry(
-        step_size=state.step_size,
-        done=jnp.asarray(False),
-        numerical_error=jnp.asarray(False),
-        total_number_iterations=state.total_number_iterations,
-        cumulative_kkt_passes=state.cumulative_kkt_passes,
-        next_x=zeros_x,
-        next_y=zeros_y,
-        next_aty=zeros_x,
+    step_size = state.step_size
+    total = state.total_number_iterations + 1
+    next_x = _compute_next_primal(
+        problem,
+        state.current_primal_solution,
+        state.current_dual_product,
+        step_size,
+        state.primal_weight,
     )
-    final = jax.lax.while_loop(cond, body, init)
+    next_y, next_aty = _compute_next_dual(
+        problem,
+        state.current_primal_solution,
+        next_x,
+        state.current_dual_solution,
+        step_size,
+        state.primal_weight,
+    )
+    interaction, movement = _interaction_and_movement(
+        problem, state, next_x, next_y, next_aty
+    )
+    kkt = state.cumulative_kkt_passes + 1.0
+    numerical_error = movement == 0.0
+    step_size_limit = jnp.where(
+        interaction > 0,
+        movement / jnp.where(interaction > 0, interaction, 1.0),
+        jnp.inf,
+    )
+    accept = (step_size <= step_size_limit) & ~numerical_error
 
-    accepted = _accept_solution(
-        state, final["next_x"], final["next_y"], final["next_aty"]
+    total_f = total.astype(step_size.dtype)
+    first_term = (
+        1 - (total_f + 1.0) ** (-params.reduction_exponent)
+    ) * step_size_limit
+    second_term = (
+        1 + (total_f + 1.0) ** (-params.growth_exponent)
+    ) * step_size
+    new_step_size = jnp.where(
+        numerical_error, step_size, jnp.minimum(first_term, second_term)
+    )
+
+    accepted_state = _accept_solution(state, next_x, next_y, next_aty)
+    accepted_state = dataclasses.replace(
+        accepted_state, iteration=state.iteration + 1
     )
     state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(final["done"], a, b), accepted, state
+        lambda a, b: jnp.where(accept, a, b), accepted_state, state
     )
     return dataclasses.replace(
         state,
-        step_size=final["step_size"],
-        numerical_error=final["numerical_error"],
-        total_number_iterations=final["total_number_iterations"],
-        cumulative_kkt_passes=final["cumulative_kkt_passes"],
+        step_size=new_step_size,
+        numerical_error=numerical_error,
+        total_number_iterations=total,
+        cumulative_kkt_passes=kkt,
     )
 
 
@@ -386,6 +364,7 @@ def _take_step_constant(
     state = _accept_solution(state, next_x, next_y, next_aty)
     return dataclasses.replace(
         state,
+        iteration=state.iteration + 1,
         cumulative_kkt_passes=state.cumulative_kkt_passes + 1.0,
         total_number_iterations=state.total_number_iterations + 1,
     )
@@ -496,6 +475,9 @@ def _take_step_malitsky_pock(
     )
     return dataclasses.replace(
         state,
+        iteration=jnp.where(
+            accepted_flag, state.iteration + 1, state.iteration
+        ),
         total_number_iterations=final["total_number_iterations"],
         cumulative_kkt_passes=final["cumulative_kkt_passes"],
     )
@@ -673,21 +655,31 @@ def _segment_core(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
     """One evaluation + the take_steps up to the next evaluation point."""
     state, result = _eval_block(bundle, state, elapsed_time, config)
 
-    def steps(state):
-        def body(s):
-            s = _take_step(bundle.scaled, s, config.step_policy)
-            return dataclasses.replace(s, iteration=s.iteration + 1)
+    # One while_loop pass = one step-size TRIAL (take_step advances
+    # `iteration` only on accept); the loop keeps going until the next
+    # evaluation iteration is reached. Single-level and cond-free by
+    # design: under vmap (batched solves) both a nested trial loop and a
+    # lax.cond wrapping this loop de-vectorize catastrophically
+    # (measured ~35x on v5e), so the termination freeze is part of the
+    # while predicate instead. `start_iteration` keeps the loop going
+    # until at least one ACCEPTED step, since the segment begins at an
+    # evaluation iteration (where _is_eval_iteration is already true).
+    start_iteration = state.iteration
 
-        def cond(s):
-            return ~s.numerical_error & ~_is_eval_iteration(
-                s.iteration, config
+    def body(s):
+        return _take_step(bundle.scaled, s, config.step_policy)
+
+    def cond(s):
+        return (
+            (s.termination_reason == 0)
+            & ~s.numerical_error
+            & (
+                (s.iteration == start_iteration)
+                | ~_is_eval_iteration(s.iteration, config)
             )
+        )
 
-        return jax.lax.while_loop(cond, body, body(state))
-
-    state = jax.lax.cond(
-        state.termination_reason != 0, lambda s: s, steps, state
-    )
+    state = jax.lax.while_loop(cond, body, state)
     return state, result
 
 

@@ -82,23 +82,40 @@ def to_device(
     problem: QuadraticProgrammingProblem,
     dtype=jnp.float64,
     format: str = "auto",
+    convert=None,
 ) -> DeviceQp:
+    """`convert` maps host arrays to leaves (default jnp.asarray); pass
+    np.asarray to build a host-side mirror (used by batched stacking so
+    the fleet transfers once after stacking, not once per instance)."""
+    if convert is None:
+        convert = jnp.asarray
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     m = problem.num_constraints
     is_equality = np.zeros(m, dtype=bool)
     is_equality[: problem.num_equalities] = True
     objective_matrix = (
         None
         if problem.objective_matrix.nnz == 0
-        else build_linop(problem.objective_matrix, dtype, format)
+        else build_linop(
+            problem.objective_matrix, dtype, format, convert=convert
+        )
     )
+
+    def vec(v):
+        return convert(np.asarray(v, np_dtype))
+
     return DeviceQp(
-        variable_lower_bound=jnp.asarray(problem.variable_lower_bound, dtype),
-        variable_upper_bound=jnp.asarray(problem.variable_upper_bound, dtype),
-        objective_vector=jnp.asarray(problem.objective_vector, dtype),
-        objective_constant=jnp.asarray(problem.objective_constant, dtype),
-        right_hand_side=jnp.asarray(problem.right_hand_side, dtype),
-        is_equality=jnp.asarray(is_equality),
-        constraint_matrix=build_linop(problem.constraint_matrix, dtype, format),
+        variable_lower_bound=vec(problem.variable_lower_bound),
+        variable_upper_bound=vec(problem.variable_upper_bound),
+        objective_vector=vec(problem.objective_vector),
+        objective_constant=convert(
+            np.asarray(problem.objective_constant, np_dtype)
+        ),
+        right_hand_side=vec(problem.right_hand_side),
+        is_equality=convert(is_equality),
+        constraint_matrix=build_linop(
+            problem.constraint_matrix, dtype, format, convert=convert
+        ),
         objective_matrix=objective_matrix,
     )
 
@@ -107,31 +124,37 @@ def to_device_scaled(
     scaled_problem: ScaledQpProblem,
     dtype=jnp.float64,
     format: str = "auto",
+    convert=None,
 ) -> DeviceScaledQp:
+    if convert is None:
+        convert = jnp.asarray
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     c = np.asarray(scaled_problem.original_qp.objective_vector, np.float64)
     b = np.asarray(scaled_problem.original_qp.right_hand_side, np.float64)
     qp_cache = DeviceQpCache(
-        l_inf_norm_primal_linear_objective=jnp.asarray(
-            np.max(np.abs(c)) if c.size else 0.0, dtype
+        l_inf_norm_primal_linear_objective=convert(
+            np.asarray(np.max(np.abs(c)) if c.size else 0.0, np_dtype)
         ),
-        l_inf_norm_primal_right_hand_side=jnp.asarray(
-            np.max(np.abs(b)) if b.size else 0.0, dtype
+        l_inf_norm_primal_right_hand_side=convert(
+            np.asarray(np.max(np.abs(b)) if b.size else 0.0, np_dtype)
         ),
-        l2_norm_primal_linear_objective=jnp.asarray(
-            np.linalg.norm(c), dtype
+        l2_norm_primal_linear_objective=convert(
+            np.asarray(np.linalg.norm(c), np_dtype)
         ),
-        l2_norm_primal_right_hand_side=jnp.asarray(
-            np.linalg.norm(b), dtype
+        l2_norm_primal_right_hand_side=convert(
+            np.asarray(np.linalg.norm(b), np_dtype)
         ),
     )
     return DeviceScaledQp(
-        scaled=to_device(scaled_problem.scaled_qp, dtype, format),
-        original=to_device(scaled_problem.original_qp, dtype, format),
-        constraint_rescaling=jnp.asarray(
-            scaled_problem.constraint_rescaling, dtype
+        scaled=to_device(scaled_problem.scaled_qp, dtype, format, convert),
+        original=to_device(
+            scaled_problem.original_qp, dtype, format, convert
         ),
-        variable_rescaling=jnp.asarray(
-            scaled_problem.variable_rescaling, dtype
+        constraint_rescaling=convert(
+            np.asarray(scaled_problem.constraint_rescaling, np_dtype)
+        ),
+        variable_rescaling=convert(
+            np.asarray(scaled_problem.variable_rescaling, np_dtype)
         ),
         qp_cache=qp_cache,
     )

@@ -143,8 +143,16 @@ def rmatvec(op: Optional[LinOp], y: jax.Array) -> jax.Array:
     return op.rmv(y)
 
 
-def _build_ell_half(csr: sp.csr_matrix, dtype) -> EllHalf:
-    """Builds the bucketed ELL planes for one orientation (host side)."""
+def _build_ell_half(csr: sp.csr_matrix, dtype, convert=None) -> EllHalf:
+    """Builds the bucketed ELL planes for one orientation (host side).
+
+    `convert` maps host arrays to leaves (default jnp.asarray); pass
+    np.asarray to keep the structure host-side (batched stacking paths
+    transfer once after stacking instead of once per instance).
+    """
+    if convert is None:
+        convert = jnp.asarray
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     m = csr.shape[0]
     row_nnz = np.diff(csr.indptr)
     max_nnz = int(row_nnz.max()) if m > 0 else 0
@@ -182,7 +190,10 @@ def _build_ell_half(csr: sp.csr_matrix, dtype) -> EllHalf:
         cols[pos_of_row[r], offset_of_entry[emask]] = csr.indices[emask]
         vals[pos_of_row[r], offset_of_entry[emask]] = csr.data[emask]
         buckets.append(
-            EllBucket(cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype))
+            EllBucket(
+                cols=convert(cols),
+                vals=convert(vals.astype(np_dtype)),
+            )
         )
         perm_chunks.append(rows_b)
 
@@ -190,8 +201,8 @@ def _build_ell_half(csr: sp.csr_matrix, dtype) -> EllHalf:
         # Degenerate all-empty matrix: a single zero bucket.
         buckets = [
             EllBucket(
-                cols=jnp.zeros((m, 1), dtype=jnp.int32),
-                vals=jnp.zeros((m, 1), dtype=dtype),
+                cols=convert(np.zeros((m, 1), dtype=np.int32)),
+                vals=convert(np.zeros((m, 1), dtype=np_dtype)),
             )
         ]
         perm_chunks = [np.arange(m)]
@@ -199,24 +210,33 @@ def _build_ell_half(csr: sp.csr_matrix, dtype) -> EllHalf:
     perm = np.concatenate(perm_chunks)
     inv_perm = np.empty(m, dtype=np.int32)
     inv_perm[perm] = np.arange(m, dtype=np.int32)
-    return EllHalf(buckets=tuple(buckets), inv_perm=jnp.asarray(inv_perm))
+    return EllHalf(buckets=tuple(buckets), inv_perm=convert(inv_perm))
 
 
-def build_sparse_op(matrix: sp.spmatrix, dtype=jnp.float64) -> SparseOp:
+def build_sparse_op(
+    matrix: sp.spmatrix, dtype=jnp.float64, convert=None
+) -> SparseOp:
     csr = sp.csr_matrix(matrix)
     csr.sum_duplicates()
     csr_t = sp.csr_matrix(matrix.T)
     csr_t.sum_duplicates()
     return SparseOp(
-        fwd=_build_ell_half(csr, dtype),
-        bwd=_build_ell_half(csr_t, dtype),
+        fwd=_build_ell_half(csr, dtype, convert),
+        bwd=_build_ell_half(csr_t, dtype, convert),
         num_rows=matrix.shape[0],
         num_cols=matrix.shape[1],
     )
 
 
-def build_dense_op(matrix: sp.spmatrix, dtype=jnp.float64) -> DenseOp:
-    return DenseOp(a=jnp.asarray(np.asarray(matrix.todense()), dtype))
+def build_dense_op(
+    matrix: sp.spmatrix, dtype=jnp.float64, convert=None
+) -> DenseOp:
+    if convert is None:
+        convert = jnp.asarray
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    return DenseOp(
+        a=convert(np.asarray(matrix.todense()).astype(np_dtype))
+    )
 
 
 def build_linop(
@@ -224,6 +244,7 @@ def build_linop(
     dtype=jnp.float64,
     format: str = "auto",
     dense_size_limit: int = 2_000_000,
+    convert=None,
 ) -> LinOp:
     """Chooses a device layout for `matrix`.
 
@@ -232,5 +253,5 @@ def build_linop(
     """
     m, n = matrix.shape
     if format == "dense" or (format == "auto" and m * n <= dense_size_limit):
-        return build_dense_op(matrix, dtype)
-    return build_sparse_op(matrix, dtype)
+        return build_dense_op(matrix, dtype, convert)
+    return build_sparse_op(matrix, dtype, convert)

@@ -89,3 +89,48 @@ def test_batch_l1_svm_fleet():
         )
     # Stronger regularization cannot decrease the optimal objective.
     assert objs[0] <= objs[1] + 1e-5 <= objs[2] + 2e-5
+
+
+def test_shared_pattern_batch_matches_individual_solves():
+    """Shared-pattern fleets (same sparsity, different values) solved
+    with the minor-batch-axis path must match individual solves."""
+    from firstorderlp_tpu.batch import solve_batch_shared_pattern
+    from firstorderlp_tpu.generators import generate_pagerank_lp_fleet
+
+    fleet = generate_pagerank_lp_fleet(120, [0.85, 0.9, 0.99], seed=3)
+    params = pdhg_params(
+        optimality_criteria(1e-8), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    )
+    params.matrix_format = "ell"
+    outputs = solve_batch_shared_pattern(params, fleet)
+    assert len(outputs) == 3
+    for problem, out in zip(fleet, outputs):
+        single = optimize(params, problem)
+        assert (
+            out.termination_reason
+            == TerminationReason.TERMINATION_REASON_OPTIMAL
+        )
+        assert out.iteration_count == single.iteration_count
+        np.testing.assert_allclose(
+            out.primal_solution, single.primal_solution, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            out.dual_solution, single.dual_solution, atol=1e-9
+        )
+        # PageRank: the stationary distribution sums to one.
+        np.testing.assert_allclose(out.primal_solution.sum(), 1.0, atol=1e-6)
+
+
+def test_shared_pattern_rejects_mismatched_patterns():
+    from firstorderlp_tpu.batch import solve_batch_shared_pattern
+    from firstorderlp_tpu.generators import generate_pagerank_lp
+
+    problems = [
+        generate_pagerank_lp(num_nodes=60, seed=0),
+        generate_pagerank_lp(num_nodes=60, seed=1),  # different graph
+    ]
+    params = pdhg_params(optimality_criteria(1e-6))
+    params.matrix_format = "ell"
+    with pytest.raises(ValueError, match="identical"):
+        solve_batch_shared_pattern(params, problems)
