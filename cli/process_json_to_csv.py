@@ -97,10 +97,21 @@ def read_dataset(dataset_list) -> list:
 def main():
     if len(sys.argv) != 3:
         raise SystemExit(
-            "Usage: process_json_to_csv.py dataset_list_json output_csv"
+            "Usage: process_json_to_csv.py dataset_list_json|logs_dir "
+            "output_csv"
         )
-    with open(sys.argv[1]) as f:
-        dataset_list = json.load(f)
+    if os.path.isdir(sys.argv[1]):
+        # Convenience beyond the reference contract: aggregate one logs
+        # directory without writing a layout file first.
+        dataset_list = {
+            "datasets": [
+                {"config": {}, "logs_directory": sys.argv[1]}
+            ],
+            "config_labels": [],
+        }
+    else:
+        with open(sys.argv[1]) as f:
+            dataset_list = json.load(f)
     rows = read_dataset(dataset_list)
     fieldnames = list(rows[0].keys())
     with open(sys.argv[2], "w", newline="") as f:

@@ -172,3 +172,26 @@ def test_generator_clis_roundtrip(tmp_path):
     with open(os.path.join(out_dir2, "svm_summary.json")) as f:
         summary = json.load(f)
     assert summary["termination_reason"] == "TERMINATION_REASON_OPTIMAL"
+
+
+def test_solve_lp_external_cli(tmp_path):
+    """Baseline driver (scipy HiGHS) under the solve_qp output contract
+    (reference scripts/solve_lp_external.jl)."""
+    out_dir = tmp_path / "ext"
+    run(
+        [
+            sys.executable,
+            "cli/solve_lp_external.py",
+            "--solver", "highs",
+            "--output_dir", str(out_dir),
+            "--instance_path",
+            os.path.join(DATA, "trivial_lp.mps"),
+        ]
+    )
+    summary = json.loads((out_dir / "trivial_lp_summary.json").read_text())
+    assert summary["termination_reason"] == "TERMINATION_REASON_OPTIMAL"
+    ci = summary["solution_stats"]["convergence_information"][0]
+    assert abs(ci["l2_primal_residual"]) < 1e-9
+    assert abs(ci["l2_dual_residual"]) < 1e-9
+    assert (out_dir / "trivial_lp_primal.txt").exists()
+    assert (out_dir / "trivial_lp_dual.txt").exists()
