@@ -85,6 +85,8 @@ class MirrorProxParameters:
     # TPU knobs:
     dtype: str = "float64"
     matrix_format: str = "auto"
+    # Precision of termination/stats evaluation (None = same as dtype).
+    stats_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -416,7 +418,14 @@ def optimize(
         original_problem,
     )
     dtype = jnp.dtype(params.dtype)
-    bundle = to_device_scaled(scaled_problem, dtype, params.matrix_format)
+    stats_dtype = (
+        jnp.dtype(params.stats_dtype)
+        if getattr(params, "stats_dtype", None)
+        else None
+    )
+    bundle = to_device_scaled(
+        scaled_problem, dtype, params.matrix_format, stats_dtype=stats_dtype
+    )
     n = bundle.scaled.num_variables
     m = bundle.scaled.num_constraints
 

@@ -134,6 +134,10 @@ class PdhgParameters:
     checkpoint_path: Optional[str] = None
     checkpoint_every_n_dispatches: int = 1
     resume_from_checkpoint: Optional[str] = None
+    # Precision of termination/stats evaluation (None = same as dtype).
+    # dtype="float32" + stats_dtype="float64" is the TPU split-precision
+    # mode: fp32 hot loop, f64 residuals on the unscaled problem.
+    stats_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -751,7 +755,12 @@ def optimize(
         original_problem,
     )
     dtype = jnp.dtype(params.dtype)
-    bundle = to_device_scaled(scaled_problem, dtype, params.matrix_format)
+    stats_dtype = (
+        jnp.dtype(params.stats_dtype) if params.stats_dtype else None
+    )
+    bundle = to_device_scaled(
+        scaled_problem, dtype, params.matrix_format, stats_dtype=stats_dtype
+    )
 
     state = _initial_state(bundle, dtype)
     cumulative_kkt_passes = 0.0

@@ -125,10 +125,20 @@ def to_device_scaled(
     dtype=jnp.float64,
     format: str = "auto",
     convert=None,
+    stats_dtype=None,
 ) -> DeviceScaledQp:
+    """`stats_dtype` (default: `dtype`) is the precision of the ORIGINAL
+    problem copy, the rescaling vectors and the norm cache - i.e. of the
+    termination/stats evaluation. Split precision (dtype=float32,
+    stats_dtype=float64) runs the hot loop at TPU-native fp32 while
+    residuals/gaps are measured in f64 (emulated, but only every
+    termination_evaluation_frequency iterations): unscaling promotes the
+    iterates because the rescaling vectors are f64."""
     if convert is None:
         convert = jnp.asarray
-    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    if stats_dtype is None:
+        stats_dtype = dtype
+    np_dtype = np.dtype(jnp.dtype(stats_dtype).name)
     c = np.asarray(scaled_problem.original_qp.objective_vector, np.float64)
     b = np.asarray(scaled_problem.original_qp.right_hand_side, np.float64)
     qp_cache = DeviceQpCache(
@@ -148,7 +158,7 @@ def to_device_scaled(
     return DeviceScaledQp(
         scaled=to_device(scaled_problem.scaled_qp, dtype, format, convert),
         original=to_device(
-            scaled_problem.original_qp, dtype, format, convert
+            scaled_problem.original_qp, stats_dtype, format, convert
         ),
         constraint_rescaling=convert(
             np.asarray(scaled_problem.constraint_rescaling, np_dtype)

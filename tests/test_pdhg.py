@@ -288,3 +288,32 @@ def test_ell_matrix_format_matches_dense():
     np.testing.assert_allclose(
         out_dense.dual_solution, out_ell.dual_solution, atol=1e-12
     )
+
+
+def test_split_precision_fp32_hot_loop_f64_stats():
+    """TPU split-precision mode: fp32 iterates, f64 termination stats.
+
+    fp32 iterates reach ~1e-6 relative KKT error (fp32 eps floor); the
+    f64 stats path must measure and terminate correctly there. (Full
+    1e-8 tolerances need dtype=float64; no reference counterpart - the
+    reference is f64-only.)
+    """
+    from firstorderlp_tpu.generators import generate_pagerank_lp
+
+    problem = generate_pagerank_lp(num_nodes=400, seed=0)
+    params = pdhg_params(
+        optimality_criteria(1e-6), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    )
+    params.dtype = "float32"
+    params.stats_dtype = "float64"
+    params.matrix_format = "ell"
+    out = optimize(params, problem)
+    assert (
+        out.termination_reason == TerminationReason.TERMINATION_REASON_OPTIMAL
+    ), out.termination_string
+    conv = out.iteration_stats[-1].convergence_information[0]
+    # The recorded stats are f64 evaluations of the fp32 iterates.
+    assert conv.relative_l2_primal_residual < 1e-6
+    assert conv.relative_l2_dual_residual < 1e-6
+    np.testing.assert_allclose(out.primal_solution.sum(), 1.0, atol=1e-5)
