@@ -123,6 +123,13 @@ def parse_command_line():
     # TPU knobs (no reference counterpart):
     p.add_argument("--dtype", default="float64")
     p.add_argument(
+        "--stats_dtype",
+        default=None,
+        help="Precision of termination/stats evaluation (default: dtype). "
+        "dtype=float32 + stats_dtype=float64 is the TPU split-precision "
+        "mode.",
+    )
+    p.add_argument(
         "--matrix_format", default="auto", choices=["auto", "dense", "ell"]
     )
     p.add_argument("--evaluations_per_dispatch", type=int, default=1)
@@ -200,6 +207,7 @@ def build_parameters(args):
             termination_criteria=criteria,
             restart_params=restart_params,
             dtype=args.dtype,
+            stats_dtype=args.stats_dtype,
             matrix_format=args.matrix_format,
         )
     if args.step_size_policy == "malitsky-pock":
@@ -232,6 +240,7 @@ def build_parameters(args):
         restart_params=restart_params,
         step_size_policy_params=step_params,
         dtype=args.dtype,
+        stats_dtype=args.stats_dtype,
         matrix_format=args.matrix_format,
         evaluations_per_dispatch=args.evaluations_per_dispatch,
     )

@@ -110,15 +110,33 @@ def _place_linop(op, mesh: Mesh, row_spec: P, col_spec: P):
         # gathered operand (x for fwd, y for bwd) is all-gathered by
         # GSPMD and the per-bucket outputs stay sharded by rows.
         def place_half(half: EllHalf, axis):
+            axis_size = mesh.shape.get(axis, 1) if axis else 1
+
+            def bucket_spec(b):
+                # Buckets whose row count doesn't divide the mesh axis
+                # (e.g. a single dense row in its own width bucket) are
+                # replicated; GSPMD still shards the gather/reduce around
+                # them.
+                rows = b.cols.shape[0]
+                if axis and rows % axis_size == 0:
+                    return P(axis, None)
+                return P(None, None)
+
+            def perm_spec():
+                size = half.inv_perm.shape[0]
+                if axis and size % axis_size == 0:
+                    return P(axis)
+                return P()
+
             return EllHalf(
                 buckets=tuple(
                     EllBucket(
-                        cols=_put(b.cols, mesh, P(axis, None)),
-                        vals=_put(b.vals, mesh, P(axis, None)),
+                        cols=_put(b.cols, mesh, bucket_spec(b)),
+                        vals=_put(b.vals, mesh, bucket_spec(b)),
                     )
                     for b in half.buckets
                 ),
-                inv_perm=_put(half.inv_perm, mesh, P(axis)),
+                inv_perm=_put(half.inv_perm, mesh, perm_spec()),
             )
 
         row_axis = row_spec[0] if len(row_spec) else None
