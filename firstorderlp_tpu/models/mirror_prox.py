@@ -565,3 +565,43 @@ def optimize(
                 int(state.iterations_completed),
                 iteration_stats,
             )
+
+
+def active_variable_stats(problem, primal, dual):
+    """Counts of variables at bounds / active, inequality duals at zero /
+    active, and the nnz fraction of A restricted to active rows+columns.
+
+    Host-side diagnostic printed at verbosity >= 6 in the reference
+    (mirror_prox.jl:352-409); here a standalone helper on the host
+    problem representation.
+    """
+    import scipy.sparse as sp
+
+    primal = np.asarray(primal)
+    dual = np.asarray(dual)
+    lb = np.asarray(problem.variable_lower_bound)
+    ub = np.asarray(problem.variable_upper_bound)
+    at_ub = primal >= ub
+    at_lb = (~at_ub) & (primal <= lb)
+    prim_active = ~(at_ub | at_lb)
+    k = problem.num_equalities
+    ineq_dual = dual[k:]
+    num_dual_lb = int((ineq_dual <= 0).sum())
+    num_dual_active = int((ineq_dual > 0).sum())
+
+    csc = sp.csc_matrix(problem.constraint_matrix)
+    row_active = np.ones(csc.shape[0], dtype=bool)
+    row_active[k:] = dual[k:] > 0
+    col_active = (primal != ub) & (primal != lb)
+    coo = csc.tocoo()
+    num_active_nonzeros = int(
+        (col_active[coo.col] & row_active[coo.row]).sum()
+    )
+    return (
+        int(at_lb.sum()),
+        int(prim_active.sum()),
+        int(at_ub.sum()),
+        num_dual_lb,
+        num_dual_active,
+        num_active_nonzeros,
+    )

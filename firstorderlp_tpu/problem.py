@@ -229,3 +229,30 @@ def print_problem_details(qp: QuadraticProgrammingProblem) -> None:
         print(
             f"  Gap between upper and lower bounds: #finite=0 of {len(gaps)}"
         )
+
+
+def print_variable_and_constraint_hardness(
+    qp: QuadraticProgrammingProblem,
+    primal_solution: np.ndarray,
+    dual_solution: np.ndarray,
+) -> None:
+    """Constraint/variable "hardness" diagnostic: row (col) L2 norm times
+    |dual| (|primal|). Reference: quadratic_programming.jl:84-111."""
+    constraint_hardness = get_row_l2_norms(qp.constraint_matrix) * np.abs(
+        np.asarray(dual_solution)
+    )
+    variable_hardness = get_col_l2_norms(qp.constraint_matrix) * np.abs(
+        np.asarray(primal_solution)
+    )
+    for label, h in (
+        ("Constraint", constraint_hardness),
+        ("Variable", variable_hardness),
+    ):
+        if len(h) == 0:
+            print(f"{label} hardness: (empty)")
+            continue
+        print(
+            f"{label} hardness: median_hardness={np.median(h):f}, "
+            f"mean_hardness={h.mean():f}, "
+            f"quantile_99={np.quantile(h, 0.99):f}, hardest={h.max():f}"
+        )
