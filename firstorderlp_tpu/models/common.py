@@ -72,9 +72,26 @@ def evaluate_unscaled_stats(
         bundle.original, bundle.qp_cache, original_primal, original_dual,
         eps_ratio,
     )
-    infeas = compute_infeasibility_information(
-        bundle.original, original_primal, original_dual
-    )
+    if (
+        criteria.eps_primal_infeasible == 0.0
+        and criteria.eps_dual_infeasible == 0.0
+    ):
+        # Infeasibility detection disabled (both tolerances exactly 0):
+        # skip the certificate evaluation - roughly half the matvecs of
+        # an evaluation - and record zeros. Trace-time decision; the
+        # criteria are static config.
+        zero = jnp.zeros((), original_primal.dtype)
+        infeas = DeviceInfeasibilityInfo(
+            max_primal_ray_infeasibility=zero,
+            primal_ray_linear_objective=zero,
+            primal_ray_quadratic_norm=zero,
+            max_dual_ray_infeasibility=zero,
+            dual_ray_objective=zero,
+        )
+    else:
+        infeas = compute_infeasibility_information(
+            bundle.original, original_primal, original_dual
+        )
     reason = check_termination_criteria(
         criteria,
         bundle.qp_cache,
