@@ -138,6 +138,11 @@ class PdhgParameters:
     # dtype="float32" + stats_dtype="float64" is the TPU split-precision
     # mode: fp32 hot loop, f64 residuals on the unscaled problem.
     stats_dtype: Optional[str] = None
+    # Write a jax.profiler trace of the solve to this directory
+    # (TensorBoard format). The reference's only instrumentation is
+    # wall-clock + KKT-pass counters (SURVEY 5.1); both are kept, this
+    # adds hardware-level tracing.
+    profiler_trace_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -825,6 +830,14 @@ def optimize(
 
     display_iteration_stats_heading(params.verbosity)
 
+    profiler_active = False
+    if params.profiler_trace_dir:
+        try:
+            jax.profiler.start_trace(params.profiler_trace_dir)
+            profiler_active = True
+        except Exception as exc:  # tracing unsupported on some backends
+            print(f"profiler trace unavailable: {exc}")
+
     iteration_stats = []
     start_time = time.time() - elapsed_offset
     basic_algorithm_time = 0.0
@@ -895,6 +908,11 @@ def optimize(
             display_iteration_stats(stats, params.verbosity)
 
         if terminated:
+            if profiler_active:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
             reason = TerminationReason(reason_code)
             if params.verbosity >= 1:
                 from ..solve_log import termination_reason_to_string

@@ -134,3 +134,43 @@ def test_shared_pattern_rejects_mismatched_patterns():
     params.matrix_format = "ell"
     with pytest.raises(ValueError, match="identical"):
         solve_batch_shared_pattern(params, problems)
+
+
+def test_shared_pattern_l1_svm_regularization_path():
+    """L1-SVM regularization path: same feature matrix, different lambda
+    -> identical sparsity pattern (BASELINE.json vmapped-batch config,
+    solved on the fast minor-batch path)."""
+    from firstorderlp_tpu.batch import solve_batch_shared_pattern
+
+    data = random_svm_data(n_samples=24, n_features=6, density=0.5, seed=2)
+    problems = [
+        generate_l1_svm_lp(data, regularizer_weight=w)
+        for w in (0.1, 1.0, 4.0)
+    ]
+    params = pdhg_params(
+        optimality_criteria(1e-7), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    )
+    params.matrix_format = "ell"
+    outputs = solve_batch_shared_pattern(params, problems)
+    objs = []
+    for problem, out in zip(problems, outputs):
+        assert (
+            out.termination_reason
+            == TerminationReason.TERMINATION_REASON_OPTIMAL
+        )
+        # L1-SVM LPs can have non-unique optima; batched reductions take a
+        # different floating-point path than single solves, so compare the
+        # (unique) optimal objective value rather than the argmin.
+        single = optimize(params, problem)
+        batched_obj = (
+            out.iteration_stats[-1].convergence_information[0]
+            .primal_objective
+        )
+        single_obj = (
+            single.iteration_stats[-1].convergence_information[0]
+            .primal_objective
+        )
+        np.testing.assert_allclose(batched_obj, single_obj, rtol=1e-5)
+        objs.append(batched_obj)
+    assert objs[0] <= objs[1] + 1e-6 <= objs[2] + 1e-6
