@@ -86,7 +86,7 @@ def make_params(limit, dtype, evals_per_dispatch=64):
 
 def main():
     num_nodes = int(os.environ.get("BENCH_NODES", 20_000))
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     iteration_limit = int(os.environ.get("BENCH_ITERS", 600))
     # float32: TPU has no native f64 (XLA emulates it ~100x slower). The
     # 1e-8-tolerance CPU/f64 path is exercised by tests.
