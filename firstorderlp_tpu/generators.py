@@ -77,6 +77,7 @@ def generate_pagerank_lp(
     approx_num_edges: int | None = None,
     damping_factor: float = 0.99,
     seed: int = 0,
+    _adjacency=None,
 ) -> QuadraticProgrammingProblem:
     """PageRank feasibility LP:
 
@@ -89,7 +90,11 @@ def generate_pagerank_lp(
     if approx_num_edges is None:
         approx_num_edges = 3 * num_nodes
     degree = max(1, round(approx_num_edges / num_nodes))
-    adj = barabasi_albert_graph(num_nodes, degree, seed)
+    adj = (
+        _adjacency
+        if _adjacency is not None
+        else barabasi_albert_graph(num_nodes, degree, seed)
+    )
     degrees = np.asarray(adj.sum(axis=1)).ravel()
     degrees[degrees == 0] = 1.0
     # S[i, j] = adj[i, j] / degree(j).
@@ -126,12 +131,17 @@ def generate_pagerank_lp_fleet(
     (batch.solve_batch_shared_pattern): one gather schedule serves every
     instance. Typical scenario sweep for PageRank sensitivity analysis.
     """
+    if approx_num_edges is None:
+        approx_num_edges = 3 * num_nodes
+    degree = max(1, round(approx_num_edges / num_nodes))
+    adjacency = barabasi_albert_graph(num_nodes, degree, seed)
     return [
         generate_pagerank_lp(
             num_nodes=num_nodes,
             approx_num_edges=approx_num_edges,
             damping_factor=float(d),
             seed=seed,
+            _adjacency=adjacency,
         )
         for d in damping_factors
     ]
