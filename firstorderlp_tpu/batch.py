@@ -1,14 +1,22 @@
 """Batched (vmapped) solving: many LP/QP instances per chip concurrently.
 
 No reference counterpart (SURVEY.md section 2: semantics = N independent
-optimize() calls). Instances are zero-padded to a common shape, their
-device bundles stacked along a leading batch axis, and the jitted PDHG
-segment is vmapped: one program advances every instance 40 iterations per
-dispatch, with per-instance termination masking (lanes freeze once their
-termination reason is set). Dense matrix layout, so the batched matvec is
-a single MXU (B, m, n) x (B, n) contraction.
+optimize() calls). Two modes:
 
-Typical use: L1-SVM fleets over many datasets / regularizer weights
+- solve_batch: heterogeneous fleets. Instances are zero-padded to a
+  common shape, bundles stacked along a LEADING batch axis, and the
+  jitted PDHG segment vmapped (dense layout: the batched matvec is one
+  MXU (B, m, n) x (B, n) contraction). Per-instance termination masking
+  freezes finished lanes.
+
+- solve_batch_shared_pattern: same-sparsity fleets (scenario sweeps:
+  damping factors, rhs/objective/regularization paths). The ELL index
+  planes are shared, values/vectors stacked along the MINOR axis, so
+  every gather fetches a contiguous (1, B) row - B=128 instances advance
+  for a few times the cost of one (see docs/performance.md; ~25x a
+  single CPU core running the reference's algorithm).
+
+Typical use: L1-SVM regularization paths and PageRank damping sweeps
 (BASELINE.json config 3).
 """
 

@@ -1,0 +1,1 @@
+"""Reserved for shared utilities (currently empty)."""
