@@ -7,7 +7,7 @@ passes/s"): the reference's benchmark protocol runs one instance per CPU
 core; the TPU-native equivalent of a core is a chip, and the chip's
 throughput comes from SIMD over a fleet (vmapped batch with the batch
 axis minor-most, so the ELL gathers amortize across instances - measured
-~18x per-instance efficiency at B=32 on v5e).
+~25x one CPU core at the default B=128 on v5e).
 
 Fleet: PageRank LPs (Nesterov 2014 formulation; reference
 benchmarking/generate_pagerank_lp.jl) on ONE Barabasi-Albert graph with
@@ -26,7 +26,7 @@ baseline = 2.5e8 / (2 * nnz(A)) iterations/s regardless of fleet size.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_NODES (default 20000), BENCH_BATCH (32), BENCH_ITERS
+Env knobs: BENCH_NODES (default 20000), BENCH_BATCH (128), BENCH_ITERS
 (600 per instance), BENCH_DTYPE (float32), BENCH_SINGLE=1 to instead
 report the single-instance metric.
 """

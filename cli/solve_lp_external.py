@@ -126,14 +126,17 @@ def solve_instance_and_output(args, command_line_invocation=""):
     n = lp.num_variables
     m = lp.num_constraints
     primal = np.asarray(result.x) if result.x is not None else np.zeros(n)
-    # scipy duals: eqlin/ineqlin marginals follow the <=/== convention
-    # with marginals = d(obj)/d(rhs); our standard form wants y with
-    # L = c'x - y'(Ax - b) and y >= 0 on the >= rows.
+    # scipy duals: eqlin/ineqlin marginals are d(obj)/d(rhs) for the
+    # scipy-form constraints. Our standard form wants y with
+    # L = c'x - y'(Ax - b), so dV/db = +y on equality rows. Inequalities
+    # are handed to scipy negated (A_ub = -A, b_ub = -b), so
+    # dV/db = -dV/d(b_ub), i.e. y_ineq = -ineqlin.marginals (and the
+    # <=-row marginals are <= 0, making y_ineq >= 0 as required).
     dual = np.zeros(m)
     if getattr(result, "eqlin", None) is not None and k > 0:
-        dual[:k] = -np.asarray(result.eqlin.marginals)
+        dual[:k] = np.asarray(result.eqlin.marginals)
     if getattr(result, "ineqlin", None) is not None and m - k > 0:
-        dual[k:] = np.asarray(result.ineqlin.marginals)
+        dual[k:] = -np.asarray(result.ineqlin.marginals)
 
     # Apples-to-apples residuals: evaluate OUR convergence information on
     # the unscaled problem with the external solution (reference l.193-208).
@@ -163,12 +166,22 @@ def solve_instance_and_output(args, command_line_invocation=""):
     infeas = compute_infeasibility_information(
         bundle.original, jnp.asarray(primal), jnp.asarray(dual)
     )
+    import jax
+
     iteration_count = int(getattr(result, "nit", 0) or 0)
+    # KKT-pass estimate so baseline rows participate in KKT-budget
+    # curves. The reference derives this only for SCS (ADMM iters x
+    # (1 + avg CG iters), solve_lp_external.jl:171-184) and leaves NaN
+    # for HiGHS. HiGHS exposes only `nit`; each simplex/IPM iteration
+    # touches the constraint matrix at least once (FTRAN/BTRAN or a
+    # residual evaluation), so we record the documented lower bound of
+    # one KKT matrix pass per iteration.
+    cumulative_kkt_passes = float(iteration_count)
     stats = to_host_stats(
-        __import__("jax").tree_util.tree_map(float, conv),
-        __import__("jax").tree_util.tree_map(float, infeas),
+        jax.tree_util.tree_map(float, conv),
+        jax.tree_util.tree_map(float, infeas),
         iteration_count,
-        0.0,
+        cumulative_kkt_passes,
         running_time,
         RestartChoice.RESTART_CHOICE_UNSPECIFIED,
         0.0,

@@ -285,6 +285,7 @@ def solve_batch_shared_pattern(
 
     start_time = time.time()
     final_results = [None] * num_instances
+    lane_time = [0.0] * num_instances
     while True:
         elapsed = time.time() - start_time
         batched_state, result = _run_segment_shared(
@@ -298,12 +299,16 @@ def solve_batch_shared_pattern(
         # fetches cost a tunnel round trip each (~25 ms on the axon
         # backend), and there are ~45 leaves x B lanes.
         host_result = jax.device_get(result)
+        dispatch_elapsed = time.time() - start_time
         reasons = np.asarray(host_result.termination_reason)
         for i in range(num_instances):
             if final_results[i] is None and reasons[i] != 0:
                 final_results[i] = jax.tree_util.tree_map(
                     lambda leaf, i=i: leaf[i], host_result
                 )
+                # Solve time is the dispatch at which THIS lane first
+                # terminated, not the whole fleet's wall clock.
+                lane_time[i] = dispatch_elapsed
         if all(r is not None for r in final_results):
             break
 
@@ -317,7 +322,7 @@ def solve_batch_shared_pattern(
             jax.tree_util.tree_map(float, res.infeas),
             int(res.iteration),
             float(res.cumulative_kkt_passes),
-            time.time() - start_time,
+            lane_time[i],
             RestartChoice.RESTART_CHOICE_UNSPECIFIED,
             float(res.step_size),
             float(res.primal_weight),
@@ -431,6 +436,7 @@ def solve_batch(
 
     start_time = time.time()
     final_results = [None] * len(problems)
+    lane_time = [0.0] * len(problems)
     while True:
         elapsed = time.time() - start_time
         batched_state, result = _run_segment_batched(
@@ -440,12 +446,14 @@ def solve_batch(
             config,
         )
         host_result = jax.device_get(result)
+        dispatch_elapsed = time.time() - start_time
         reasons = np.asarray(host_result.termination_reason)
         for i in range(len(problems)):
             if final_results[i] is None and reasons[i] != 0:
                 final_results[i] = jax.tree_util.tree_map(
                     lambda leaf, i=i: leaf[i], host_result
                 )
+                lane_time[i] = dispatch_elapsed
         if all(r is not None for r in final_results):
             break
 
@@ -458,7 +466,7 @@ def solve_batch(
             jax.tree_util.tree_map(float, res.infeas),
             int(res.iteration),
             float(res.cumulative_kkt_passes),
-            time.time() - start_time,
+            lane_time[i],
             RestartChoice.RESTART_CHOICE_UNSPECIFIED,
             float(res.step_size),
             float(res.primal_weight),

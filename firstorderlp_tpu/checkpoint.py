@@ -28,6 +28,44 @@ import numpy as np
 _SCHEMA_VERSION = 1
 
 
+def problem_fingerprint(problem) -> str:
+    """Cheap content hash of a QuadraticProgrammingProblem.
+
+    Checkpoints written against one problem must not silently resume
+    another problem with identical shapes; the fingerprint covers the
+    shapes, nnz, and value checksums of every data field.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    a = problem.constraint_matrix.tocoo()
+    h.update(
+        repr(
+            (
+                a.shape,
+                a.nnz,
+                int(problem.num_equalities),
+            )
+        ).encode()
+    )
+    for arr in (
+        a.row,
+        a.col,
+        a.data,
+        problem.right_hand_side,
+        problem.objective_vector,
+        problem.variable_lower_bound,
+        problem.variable_upper_bound,
+        np.asarray(problem.objective_constant),
+    ):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    if problem.objective_matrix is not None:
+        q = problem.objective_matrix.tocoo()
+        for arr in (q.row, q.col, q.data):
+            h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
 def _leaf_key(path) -> str:
     parts = []
     for p in path:
@@ -47,14 +85,20 @@ def save_state(
     state,
     elapsed_time: float = 0.0,
     metadata: Optional[Dict[str, Any]] = None,
+    fingerprint: Optional[str] = None,
 ) -> None:
-    """Writes `state` (any jax pytree) atomically to `path` (.npz)."""
+    """Writes `state` (any jax pytree) atomically to `path` (.npz).
+
+    `fingerprint` (see problem_fingerprint) binds the checkpoint to the
+    problem instance; load_state raises on mismatch.
+    """
     leaves = jax.tree_util.tree_leaves_with_path(state)
     arrays = {_leaf_key(p): np.asarray(v) for p, v in leaves}
     meta = {
         "schema_version": _SCHEMA_VERSION,
         "elapsed_time": float(elapsed_time),
         "metadata": metadata or {},
+        "fingerprint": fingerprint,
     }
     buf = io.BytesIO()
     np.savez(buf, __meta__=np.frombuffer(
@@ -71,12 +115,16 @@ def save_state(
             os.unlink(tmp)
 
 
-def load_state(path: str, template) -> Tuple[Any, float, Dict[str, Any]]:
+def load_state(
+    path: str, template, fingerprint: Optional[str] = None
+) -> Tuple[Any, float, Dict[str, Any]]:
     """Loads a checkpoint into the structure of `template`.
 
     Returns (state, elapsed_time, metadata). Leaf dtypes follow the
     template (so a checkpoint can be resumed under a different compute
-    dtype); shapes must match exactly.
+    dtype); shapes must match exactly. When `fingerprint` is given and
+    the checkpoint recorded one, a mismatch raises: identical shapes do
+    not make it the same problem.
     """
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
@@ -85,6 +133,14 @@ def load_state(path: str, template) -> Tuple[Any, float, Dict[str, Any]]:
                 f"checkpoint schema {meta.get('schema_version')} != "
                 f"{_SCHEMA_VERSION}"
             )
+        saved_fp = meta.get("fingerprint")
+        if fingerprint is not None and saved_fp is not None:
+            if saved_fp != fingerprint:
+                raise ValueError(
+                    "checkpoint was written for a different problem "
+                    f"(fingerprint {saved_fp[:12]}... != "
+                    f"{fingerprint[:12]}...)"
+                )
         leaves = jax.tree_util.tree_leaves_with_path(template)
         restored = []
         for p, leaf in leaves:

@@ -803,12 +803,18 @@ def optimize(
         ),
     )
 
+    problem_fp = None
+    if params.checkpoint_path or params.resume_from_checkpoint:
+        from ..checkpoint import problem_fingerprint
+
+        problem_fp = problem_fingerprint(original_problem)
+
     elapsed_offset = 0.0
     if params.resume_from_checkpoint:
         from ..checkpoint import load_state
 
         state, elapsed_offset, _ = load_state(
-            params.resume_from_checkpoint, state
+            params.resume_from_checkpoint, state, fingerprint=problem_fp
         )
         # The previous run's termination (e.g. its iteration limit) does
         # not apply to this run's criteria; re-evaluate from scratch.
@@ -875,6 +881,7 @@ def optimize(
                 state,
                 elapsed_time=time.time() - start_time,
                 metadata={"iteration": eval_iteration + 1},
+                fingerprint=problem_fp,
             )
 
         method_specific_stats = {

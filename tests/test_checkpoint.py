@@ -110,3 +110,16 @@ def test_resume_matches_uninterrupted_solve(tmp_path):
     np.testing.assert_allclose(
         resumed.dual_solution, full.dual_solution, rtol=0, atol=1e-12
     )
+
+
+def test_fingerprint_mismatch_raises(tmp_path):
+    """Resuming a checkpoint against a DIFFERENT problem with identical
+    shapes must raise instead of silently producing a wrong solve."""
+    problem = example_lp()
+    path = str(tmp_path / "solver.npz")
+    _ = optimize(pdhg_params(10, checkpoint_path=path), problem)
+
+    other = example_lp()
+    other.objective_vector = other.objective_vector + 1.0
+    with pytest.raises(ValueError, match="different problem"):
+        optimize(pdhg_params(20, resume_from_checkpoint=path), other)
