@@ -727,23 +727,28 @@ def _run_segments(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
 # ---------------------------------------------------------------------------
 
 
-def optimize(
+@dataclasses.dataclass
+class PreparedProblem:
+    """Ingested problem (rescaled + device bundle + initial state).
+
+    prepare_problem/optimize(prepared=...) separate one-time ingest
+    (rescaling, layout builds, host->device transfer) from the solve so
+    benchmark protocols and repeated solves (tolerance sweeps, warm
+    starts) don't pay ingest per solve."""
+
+    scaled_problem: object
+    bundle: object
+    initial_state: "PdhgState"
+
+
+def prepare_problem(
     params: PdhgParameters,
     original_problem: QuadraticProgrammingProblem,
-    _placement=None,
-) -> SaddlePointOutput:
-    """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049).
-
-    `_placement` is an internal hook used by parallel.sharded: a function
-    (bundle, state) -> (bundle, state) that device_puts all pytree leaves
-    with their mesh shardings before the segment loop starts.
-    """
+) -> PreparedProblem:
+    """Validates, rescales and transfers `original_problem` for
+    `optimize` (reference: the rescaling step of optimize, pdhg.jl:
+    769-819, split out for reuse)."""
     validate(original_problem)
-    validate_termination_criteria(params.termination_criteria)
-    if params.primal_importance <= 0 or not np.isfinite(
-        params.primal_importance
-    ):
-        raise ValueError("primal_importance must be positive and finite")
     if isinstance(
         params.step_size_policy_params, MalitskyPockStepsizeParameters
     ) and original_problem.objective_matrix.nnz > 0:
@@ -802,6 +807,35 @@ def optimize(
             cumulative_kkt_passes, jnp.float64
         ),
     )
+    return PreparedProblem(
+        scaled_problem=scaled_problem, bundle=bundle, initial_state=state
+    )
+
+
+def optimize(
+    params: PdhgParameters,
+    original_problem: QuadraticProgrammingProblem,
+    _placement=None,
+    prepared: "PreparedProblem | None" = None,
+) -> SaddlePointOutput:
+    """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049).
+
+    `_placement` is an internal hook used by parallel.sharded: a function
+    (bundle, state) -> (bundle, state) that device_puts all pytree leaves
+    with their mesh shardings before the segment loop starts.
+    `prepared` (from prepare_problem on the SAME problem and params)
+    skips ingest.
+    """
+    validate_termination_criteria(params.termination_criteria)
+    if params.primal_importance <= 0 or not np.isfinite(
+        params.primal_importance
+    ):
+        raise ValueError("primal_importance must be positive and finite")
+    if prepared is None:
+        prepared = prepare_problem(params, original_problem)
+    scaled_problem = prepared.scaled_problem
+    bundle = prepared.bundle
+    state = prepared.initial_state
 
     problem_fp = None
     if params.checkpoint_path or params.resume_from_checkpoint:
@@ -864,6 +898,10 @@ def optimize(
                 config,
                 evals_per_dispatch,
             )
+        # ONE transfer for the whole result pytree: per-leaf fetches cost
+        # a tunnel round trip each (~25 ms on the axon backend) and the
+        # EvalResult has ~45 leaves.
+        result = jax.device_get(result)
         reason_code = int(result.termination_reason)
         terminated = reason_code != 0
         eval_iteration = int(result.iteration)  # = displayed iteration - 1

@@ -83,10 +83,16 @@ def to_device(
     dtype=jnp.float64,
     format: str = "auto",
     convert=None,
+    share_from: "DeviceQp | None" = None,
 ) -> DeviceQp:
     """`convert` maps host arrays to leaves (default jnp.asarray); pass
     np.asarray to build a host-side mirror (used by batched stacking so
-    the fleet transfers once after stacking, not once per instance)."""
+    the fleet transfers once after stacking, not once per instance).
+
+    share_from: a DeviceQp over the same sparsity pattern (the scaled
+    copy); when its constraint operator is routed, the new op reuses the
+    donor's device index planes and transfers only values (host->device
+    transfer dominates ingest on tunneled backends)."""
     if convert is None:
         convert = jnp.asarray
     np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -104,6 +110,23 @@ def to_device(
     def vec(v):
         return convert(np.asarray(v, np_dtype))
 
+    constraint_op = None
+    if share_from is not None and convert is jnp.asarray:
+        from .routed import RoutedOp, build_routed_op
+
+        donor = share_from.constraint_matrix
+        if isinstance(donor, RoutedOp) and jnp.dtype(dtype) == jnp.float32:
+            try:
+                constraint_op = build_routed_op(
+                    problem.constraint_matrix, share_plan_with=donor
+                )
+            except ValueError:
+                constraint_op = None  # pattern mismatch: build fresh
+    if constraint_op is None:
+        constraint_op = build_linop(
+            problem.constraint_matrix, dtype, format, convert=convert
+        )
+
     return DeviceQp(
         variable_lower_bound=vec(problem.variable_lower_bound),
         variable_upper_bound=vec(problem.variable_upper_bound),
@@ -113,9 +136,7 @@ def to_device(
         ),
         right_hand_side=vec(problem.right_hand_side),
         is_equality=convert(is_equality),
-        constraint_matrix=build_linop(
-            problem.constraint_matrix, dtype, format, convert=convert
-        ),
+        constraint_matrix=constraint_op,
         objective_matrix=objective_matrix,
     )
 
@@ -155,10 +176,17 @@ def to_device_scaled(
             np.asarray(np.linalg.norm(b), np_dtype)
         ),
     )
+    scaled_qp_device = to_device(
+        scaled_problem.scaled_qp, dtype, format, convert
+    )
     return DeviceScaledQp(
-        scaled=to_device(scaled_problem.scaled_qp, dtype, format, convert),
+        scaled=scaled_qp_device,
         original=to_device(
-            scaled_problem.original_qp, stats_dtype, format, convert
+            scaled_problem.original_qp,
+            stats_dtype,
+            format,
+            convert,
+            share_from=scaled_qp_device,
         ),
         constraint_rescaling=convert(
             np.asarray(scaled_problem.constraint_rescaling, np_dtype)

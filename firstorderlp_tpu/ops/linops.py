@@ -128,6 +128,8 @@ class SparseOp:
         return self.bwd.mv(y)
 
 
+# RoutedOp (ops/routed.py) also satisfies this interface; the union is
+# annotation-only and dispatch is duck-typed through mv/rmv.
 LinOp = Union[DenseOp, SparseOp]
 
 
@@ -245,13 +247,34 @@ def build_linop(
     format: str = "auto",
     dense_size_limit: int = 2_000_000,
     convert=None,
+    routed_nnz_threshold: int = 50_000,
 ) -> LinOp:
     """Chooses a device layout for `matrix`.
 
-    format: "dense", "sparse" (or legacy "ell"), or "auto" (dense when
-    m*n <= dense_size_limit).
+    format: "dense", "sparse" (or legacy "ell"), "routed" (Pallas
+    one-hot routing kernels, f32 single-instance; ops/routed.py), or
+    "auto": dense when m*n <= dense_size_limit, routed on TPU for f32
+    matrices with >= routed_nnz_threshold nonzeros (~10x the ELL matvec,
+    measured), ELL otherwise.
     """
     m, n = matrix.shape
     if format == "dense" or (format == "auto" and m * n <= dense_size_limit):
         return build_dense_op(matrix, dtype, convert)
+    if format == "routed" or (
+        format == "auto"
+        and jnp.dtype(dtype) == jnp.float32
+        and matrix.nnz >= routed_nnz_threshold
+        and convert in (None, jnp.asarray)
+        and jax.default_backend() == "tpu"
+    ):
+        from .routed import build_routed_op
+
+        if convert not in (None, jnp.asarray):
+            raise ValueError(
+                "routed layout is device-resident (host-mirror stacking "
+                "unsupported); use format='ell' for batched fleets"
+            )
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("routed layout computes in f32")
+        return build_routed_op(matrix)
     return build_sparse_op(matrix, dtype, convert)

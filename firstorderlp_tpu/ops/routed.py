@@ -1,0 +1,492 @@
+"""Routed sparse matvec: Pallas MXU one-hot kernels, zero per-entry gathers.
+
+The TPU's XLA gather/scatter lowering is index-rate bound (~1.3e8
+indices/s measured on v5e), so the round-1 ELL layout pays ~1 gather per
+nonzero and a single instance loses to one CPU core. This module replaces
+every per-entry gather with MXU one-hot selection over STATIC windows
+(measured ~9x the ELL matvec at 800k nnz):
+
+  1. A is partitioned into (row-strip x col-strip) tiles; Hr = 128*HR
+     rows by Wc = 128*B2 columns. Each tile's entries are padded to
+     128-entry CHUNKS.
+  2. Two static entry orders: E-order sorts tiles by (col-strip,
+     row-strip); R-order by (row-strip, col-strip). The E->R reorder
+     moves whole chunks, so it is ONE XLA gather of 128-wide slices with
+     nnz/128 indices (index-count-bound => ~free).
+  3. Expand kernel (E-order, grid over groups of G entries, one
+     col-strip of x resident in VMEM as a (128, B2) window):
+     g[k] = x_window[a_k, b_k] via a single (128,B2)x(128,G) one-hot
+     dot_general (contraction depth 128 = full MXU utilization) plus a
+     masked column-sum. One-hot entries are exactly representable in
+     bfloat16 and each output receives exactly one contribution, so with
+     precision=HIGHEST the expansion is EXACT in f32 (verified).
+  4. Reduce kernel (R-order): y_strip += O_hi @ (O_lo o (g*vals)), a
+     full-depth one-hot scatter-matmul accumulated into the revisited
+     (HR,128) output block per row strip (f32 accumulation, same
+     rounding class as a dense f32 matvec).
+
+One tile plan serves BOTH orientations: A'y runs the same two kernels
+with the phases swapped (expansion over row strips using the local row
+indices, reduction into col strips using local columns), the inverse
+chunk permutation, and the E-order value planes.
+
+Reference call sites replaced: `problem.constraint_matrix * x` and
+`' * y` (src/saddle_point.jl:1089,1106; src/primal_dual_hybrid_gradient
+.jl:492). f32 only (the MXU has no f64): the 1e-8 path evaluates stats
+in f64 on the ELL/dense operators.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _expand_body(shift, rows, s_ref, xs_ref, loc_ref, g_ref):
+    """g[k] = x_window[a_k, b_k]; window (128, B2), a = lc >> shift,
+    b = lc & (B2-1). loc packs (local_col | local_row << 16); the low
+    half is used here."""
+    del s_ref
+    b2 = xs_ref.shape[2]
+    k = rows * 128
+    xw = xs_ref[0]  # (128, B2)
+    loc = loc_ref[...].reshape(1, k) & 0xFFFF
+    a_idx = loc >> shift
+    b_idx = loc & (b2 - 1)
+    o_a = (
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == a_idx
+    ).astype(jnp.float32)
+    c_t = lax.dot_general(
+        xw,
+        o_a,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )  # (B2, k): c_t[b, kk] = xw[a_kk, b]
+    b_mask = lax.broadcasted_iota(jnp.int32, (b2, k), 0) == b_idx
+    g = jnp.sum(jnp.where(b_mask, c_t, 0.0), axis=0, keepdims=True)
+    g_ref[...] = g.reshape(rows, 128)
+
+
+def _reduce_body(hr, rows, shift16, meta_ref, g_ref, v_ref, loc_ref, y_ref):
+    """y_strip (HR,128) += scatter of p = g*vals at local rows.
+
+    loc's HIGH half (>> 16) when shift16 else low half. hi = lr >> 7
+    selects the 128-row page, lo = lr & 127 the row within it."""
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[i, 1] == 1)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    k = rows * 128
+    p = (g_ref[...] * v_ref[...]).reshape(1, k)
+    loc = loc_ref[...].reshape(1, k)
+    loc = (loc >> 16) if shift16 else (loc & 0xFFFF)
+    hi = loc >> 7
+    lo = loc & 127
+    m = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
+    )
+    o_hi = (
+        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
+    ).astype(jnp.float32)
+    y_ref[0] = y_ref[0] + lax.dot_general(
+        o_hi,
+        m,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_expand(ngroups, nstrips, b2, rows, shift, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 128, b2),
+                lambda i, s: (s[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_expand_body, shift, rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ngroups * rows, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_reduce(ngroups, nstrips, hr, rows, shift16, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(
+                (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hr, 128),
+            lambda i, s: (s[i, 0], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_reduce_body, hr, rows, shift16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _chunk_gather(g: jax.Array, src: jax.Array) -> jax.Array:
+    """g[src] over 128-wide rows (PROMISE_IN_BOUNDS: indices validated
+    at plan-build time)."""
+    return lax.gather(
+        g,
+        src[:, None],
+        lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, 128),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device operator
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RoutedOp:
+    """Routed-SpMV linear operator (drop-in LinOp: mv / rmv / shape)."""
+
+    # E-order (tiles sorted by col-strip, row-strip)
+    loc_e: jax.Array  # (nchunks_e, 128) int32: local_col | local_row<<16
+    vals_e: jax.Array  # (nchunks_e, 128) f32 (used by rmv reduce)
+    strip_e: jax.Array  # (ngroups_e,) int32 col strip per E group
+    meta_e: jax.Array  # (ngroups_e, 2) int32 [col strip, first] (rmv)
+    chunk_src_e: jax.Array  # (nchunks_e,) int32 R-chunk per E-chunk (rmv)
+    # R-order (tiles sorted by row-strip, col-strip)
+    loc_r: jax.Array  # (nchunks_r, 128) int32
+    vals_r: jax.Array  # (nchunks_r, 128) f32 (used by mv reduce)
+    strip_r: jax.Array  # (ngroups_r,) int32 row strip per R group (rmv)
+    meta_r: jax.Array  # (ngroups_r, 2) int32 [row strip, first] (mv)
+    chunk_src_r: jax.Array  # (nchunks_r,) int32 E-chunk per R-chunk (mv)
+    # static geometry
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    b2: int = dataclasses.field(metadata=dict(static=True))  # Wc/128
+    hr: int = dataclasses.field(metadata=dict(static=True))  # Hr/128
+    cb: int = dataclasses.field(metadata=dict(static=True))  # col strips
+    rb: int = dataclasses.field(metadata=dict(static=True))  # row strips
+    group_rows: int = dataclasses.field(metadata=dict(static=True))
+    # sha256 of the csr sparsity pattern; share_plan_with safety check
+    pattern_hash: str = dataclasses.field(
+        default="", metadata=dict(static=True)
+    )
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.num_rows, self.num_cols)
+
+    def _interpret(self) -> bool:
+        return jax.default_backend() != "tpu"
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        """A @ x."""
+        wc, hr128 = 128 * self.b2, 128 * self.hr
+        shift = int(self.b2).bit_length() - 1
+        interp = self._interpret()
+        with jax.enable_x64(False):
+            xp = jnp.pad(
+                x.astype(jnp.float32), (0, self.cb * wc - self.num_cols)
+            )
+            xs = xp.reshape(self.cb, 128, self.b2)
+            expand = _make_expand(
+                self.strip_e.shape[0],
+                self.cb,
+                self.b2,
+                self.group_rows,
+                shift,
+                interp,
+            )
+            g = expand(self.strip_e, xs, self.loc_e)
+            gr = _chunk_gather(g, self.chunk_src_r)
+            reduce_ = _make_reduce(
+                self.meta_r.shape[0],
+                self.rb,
+                self.hr,
+                self.group_rows,
+                True,
+                interp,
+            )
+            y = reduce_(self.meta_r, gr, self.vals_r, self.loc_r)
+        return y.reshape(self.rb * hr128)[: self.num_rows].astype(x.dtype)
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        """A' @ y: same kernels, phases swapped, inverse chunk routing."""
+        wc, hr128 = 128 * self.b2, 128 * self.hr
+        shift = int(self.hr).bit_length() - 1
+        interp = self._interpret()
+        with jax.enable_x64(False):
+            yp = jnp.pad(
+                y.astype(jnp.float32), (0, self.rb * hr128 - self.num_rows)
+            )
+            ys = yp.reshape(self.rb, 128, self.hr)
+            # expansion over row strips using the HIGH (row) half: shift
+            # the packed loc so the expand kernel's low-half read sees it.
+            expand = _make_expand(
+                self.strip_r.shape[0],
+                self.rb,
+                self.hr,
+                self.group_rows,
+                shift,
+                interp,
+            )
+            g = expand(self.strip_r, ys, self._loc_r_swapped())
+            ge = _chunk_gather(g, self.chunk_src_e)
+            reduce_ = _make_reduce(
+                self.meta_e.shape[0],
+                self.cb,
+                self.b2,
+                self.group_rows,
+                True,
+                interp,
+            )
+            xout = reduce_(self.meta_e, ge, self.vals_e, self._loc_e_swapped())
+        return xout.reshape(self.cb * wc)[: self.num_cols].astype(y.dtype)
+
+    def _loc_r_swapped(self) -> jax.Array:
+        # (local_row | local_col << 16) in R-order for the rmv expansion.
+        return (self.loc_r >> 16) | ((self.loc_r & 0xFFFF) << 16)
+
+    def _loc_e_swapped(self) -> jax.Array:
+        return (self.loc_e >> 16) | ((self.loc_e & 0xFFFF) << 16)
+
+
+# ---------------------------------------------------------------------------
+# Host-side plan builder
+# ---------------------------------------------------------------------------
+
+
+def _pick_pow2(value, lo, hi):
+    p = 1 << max(int(np.ceil(np.log2(max(value, 1.0)))), 0)
+    return int(min(max(p, lo), hi))
+
+
+def build_routed_op(
+    matrix: sp.spmatrix,
+    group_rows: int = 16,
+    b2: "int | None" = None,
+    hr: "int | None" = None,
+    share_plan_with: "RoutedOp | None" = None,
+) -> RoutedOp:
+    """Builds the tile plan for `matrix` (host side, vectorized numpy).
+
+    group_rows: chunks per kernel group (G = group_rows*128 entries per
+    grid step; per-strip padding is < G entries).
+    b2/hr: strip geometry overrides (Wc = 128*b2, Hr = 128*hr), powers
+    of two in [1, 128]; the default targets ~5% tile-padding overhead.
+    share_plan_with: an existing RoutedOp over a matrix with the SAME
+    sparsity pattern (e.g. the rescaled copy); the new op reuses its
+    device-resident index planes and only transfers the value planes
+    (the host->device tunnel is the dominant ingest cost).
+    """
+    if share_plan_with is not None:
+        donor = share_plan_with
+        group_rows, b2, hr = donor.group_rows, donor.b2, donor.hr
+    csr = sp.csr_matrix(matrix)
+    csr.sum_duplicates()
+    m, n = csr.shape
+    coo = csr.tocoo()
+    nnz = coo.nnz
+    if nnz == 0 or m == 0 or n == 0:
+        raise ValueError("routed layout requires a nonempty matrix")
+
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr((m, n, nnz)).encode())
+    h.update(np.ascontiguousarray(csr.indptr).tobytes())
+    h.update(np.ascontiguousarray(csr.indices).tobytes())
+    pattern_hash = h.hexdigest()
+
+    if b2 is None or hr is None:
+        # tile padding <= ~5% of nnz: 64 * ntiles <= 0.05 nnz
+        # => strip ~ sqrt(64 * m * n / (0.05 * nnz))
+        target = np.sqrt(64.0 * m * n / (0.05 * max(nnz, 1))) / 128.0
+        pick = _pick_pow2(target, 1, 128)
+        if b2 is None:
+            b2 = min(pick, _pick_pow2(n / 128.0, 1, 128))
+        if hr is None:
+            hr = min(pick, _pick_pow2(m / 128.0, 1, 128))
+    if b2 & (b2 - 1) or hr & (hr - 1):
+        raise ValueError("b2 and hr must be powers of two")
+    wc, hr128 = 128 * b2, 128 * hr
+    cb = -(-n // wc)
+    rb = -(-m // hr128)
+    if wc > 16384 or hr128 > 16384:
+        raise ValueError("strips above 16384 do not fit the 16-bit packing")
+
+    row = coo.row.astype(np.int64)
+    col = coo.col.astype(np.int64)
+    vals = coo.data.astype(np.float32)
+    rs_of, cs_of = row // hr128, col // wc
+    tile = rs_of * cb + cs_of
+    ntiles = rb * cb
+
+    # canonical entry order: sorted by tile id, original order within
+    order = np.argsort(tile, kind="stable")
+    tile_sorted = tile[order]
+    counts = np.bincount(tile, minlength=ntiles).astype(np.int64)
+    tile_chunks = -(-counts // 128)  # chunks per tile (0 for empty)
+
+    tile_first_entry = np.zeros(ntiles, dtype=np.int64)
+    np.cumsum(counts[:-1], out=tile_first_entry[1:])
+    slot = np.arange(nnz, dtype=np.int64) - tile_first_entry[tile_sorted]
+
+    tile_ids = np.arange(ntiles, dtype=np.int64)
+    tile_rs, tile_cs = tile_ids // cb, tile_ids % cb
+    r_tile_order = tile_ids  # sorted by (row strip, col strip)
+    e_tile_order = np.argsort(tile_cs * rb + tile_rs, kind="stable")
+
+    def layout(tile_order, strip_of_tile, nstrips):
+        """Padded chunk layout for one order (tiles strip-contiguous).
+
+        Each strip's chunk span is padded up to a multiple of group_rows
+        (and at least one group, so empty strips still get their output
+        block zero-initialized). Returns (per-tile chunk start, total
+        chunks, groups per strip)."""
+        strip_chunks = np.bincount(
+            strip_of_tile, weights=tile_chunks.astype(np.float64),
+            minlength=nstrips,
+        ).astype(np.int64)
+        padded = np.maximum(-(-strip_chunks // group_rows), 1) * group_rows
+        strip_chunk_start = np.zeros(nstrips + 1, dtype=np.int64)
+        np.cumsum(padded, out=strip_chunk_start[1:])
+        cc = tile_chunks[tile_order]
+        strips = strip_of_tile[tile_order]
+        within = np.cumsum(cc) - cc
+        change = np.ones(ntiles, dtype=bool)
+        change[1:] = strips[1:] != strips[:-1]
+        strip_base = np.maximum.accumulate(np.where(change, within, -1))
+        starts_sorted = strip_chunk_start[strips] + (within - strip_base)
+        starts = np.empty(ntiles, dtype=np.int64)
+        starts[tile_order] = starts_sorted
+        return starts, int(strip_chunk_start[-1]), padded // group_rows
+
+    start_r, nchunks_r, rgroups = layout(r_tile_order, tile_rs, rb)
+    start_e, nchunks_e, egroups = layout(e_tile_order, tile_cs, cb)
+
+    lr = (row[order] % hr128).astype(np.int64)
+    lc = (col[order] % wc).astype(np.int64)
+    loc_entry = (lc | (lr << 16)).astype(np.int32)
+
+    pos_r = start_r[tile_sorted] * 128 + slot
+    pos_e = start_e[tile_sorted] * 128 + slot
+
+    loc_r = np.zeros(nchunks_r * 128, dtype=np.int32)
+    vals_r = np.zeros(nchunks_r * 128, dtype=np.float32)
+    loc_r[pos_r] = loc_entry
+    vals_r[pos_r] = vals[order]
+    loc_e = np.zeros(nchunks_e * 128, dtype=np.int32)
+    vals_e = np.zeros(nchunks_e * 128, dtype=np.float32)
+    loc_e[pos_e] = loc_entry
+    vals_e[pos_e] = vals[order]
+
+    # chunk routing maps; padding/dummy chunks source chunk 0 and carry
+    # zero values, so they contribute nothing.
+    nz = np.flatnonzero(tile_chunks)
+    c = tile_chunks[nz]
+    within_chunk = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(c) - c, c
+    )
+    chunk_src_r = np.zeros(nchunks_r, dtype=np.int32)
+    chunk_src_e = np.zeros(nchunks_e, dtype=np.int32)
+    chunk_src_r[np.repeat(start_r[nz], c) + within_chunk] = (
+        np.repeat(start_e[nz], c) + within_chunk
+    )
+    chunk_src_e[np.repeat(start_e[nz], c) + within_chunk] = (
+        np.repeat(start_r[nz], c) + within_chunk
+    )
+
+    strip_e_groups = np.repeat(np.arange(cb, dtype=np.int32), egroups)
+    strip_r_groups = np.repeat(np.arange(rb, dtype=np.int32), rgroups)
+
+    def first_flags(strips):
+        meta = np.zeros((len(strips), 2), dtype=np.int32)
+        meta[:, 0] = strips
+        meta[0, 1] = 1
+        meta[1:, 1] = (strips[1:] != strips[:-1]).astype(np.int32)
+        return meta
+
+    if share_plan_with is not None:
+        if donor.pattern_hash != pattern_hash:
+            raise ValueError(
+                "share_plan_with requires an identical sparsity pattern"
+            )
+        return dataclasses.replace(
+            donor,
+            vals_e=jnp.asarray(vals_e.reshape(nchunks_e, 128)),
+            vals_r=jnp.asarray(vals_r.reshape(nchunks_r, 128)),
+        )
+
+    return RoutedOp(
+        loc_e=jnp.asarray(loc_e.reshape(nchunks_e, 128)),
+        vals_e=jnp.asarray(vals_e.reshape(nchunks_e, 128)),
+        strip_e=jnp.asarray(strip_e_groups),
+        meta_e=jnp.asarray(first_flags(strip_e_groups)),
+        chunk_src_e=jnp.asarray(chunk_src_e),
+        loc_r=jnp.asarray(loc_r.reshape(nchunks_r, 128)),
+        vals_r=jnp.asarray(vals_r.reshape(nchunks_r, 128)),
+        strip_r=jnp.asarray(strip_r_groups),
+        meta_r=jnp.asarray(first_flags(strip_r_groups)),
+        chunk_src_r=jnp.asarray(chunk_src_r),
+        num_rows=m,
+        num_cols=n,
+        b2=int(b2),
+        hr=int(hr),
+        cb=int(cb),
+        rb=int(rb),
+        group_rows=int(group_rows),
+        pattern_hash=pattern_hash,
+    )

@@ -1,0 +1,151 @@
+"""Routed-SpMV operator tests (ops/routed.py).
+
+On CPU the Pallas kernels run in interpret mode; sizes are kept small.
+The layout replaces the ELL gather path for large f32 single-instance
+solves on TPU (reference call sites src/saddle_point.jl:1089,1106).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from firstorderlp_tpu.ops.routed import RoutedOp, build_routed_op
+from firstorderlp_tpu.ops.linops import build_linop
+
+
+def random_matrix(rng, m, n, nnz):
+    r = rng.integers(0, m, nnz)
+    c = rng.integers(0, n, nnz)
+    d = rng.normal(size=nnz)
+    a = sp.coo_matrix((d, (r, c)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    return a
+
+
+@pytest.mark.parametrize(
+    "m,n,nnz",
+    [(300, 500, 4000), (129, 257, 600), (50, 60, 200), (1000, 90, 5000)],
+)
+def test_matches_scipy(m, n, nnz):
+    rng = np.random.default_rng(m + n)
+    a = random_matrix(rng, m, n, nnz)
+    op = build_routed_op(a, group_rows=4)
+    x = rng.normal(size=n).astype(np.float32)
+    y = rng.normal(size=m).astype(np.float32)
+    a32 = a.astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.mv(jnp.asarray(x))), a32 @ x, rtol=0,
+        atol=3e-6 * max(1.0, float(np.abs(a32 @ x).max())),
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.rmv(jnp.asarray(y))), a32.T @ y, rtol=0,
+        atol=3e-6 * max(1.0, float(np.abs(a32.T @ y).max())),
+    )
+
+
+def test_pathological_structures():
+    """Hub row/column, empty rows and columns, single entry."""
+    rng = np.random.default_rng(7)
+    m, n = 400, 300
+    rows = np.concatenate([
+        np.zeros(200, dtype=int),          # hub row 0
+        rng.integers(5, 100, 300),         # rows 100..399 empty-ish
+    ])
+    cols = np.concatenate([
+        rng.integers(0, n, 200),
+        np.full(300, 7),                   # hub column 7
+    ])
+    d = rng.normal(size=500)
+    a = sp.coo_matrix((d, (rows, cols)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    op = build_routed_op(a, group_rows=2)
+    x = rng.normal(size=n).astype(np.float32)
+    y = rng.normal(size=m).astype(np.float32)
+    a32 = a.astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.mv(jnp.asarray(x))), a32 @ x, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.rmv(jnp.asarray(y))), a32.T @ y, atol=1e-4
+    )
+
+
+def test_plan_sharing():
+    """A rescaled copy (same pattern, different values) reuses the
+    donor's index planes; results match scipy for both."""
+    rng = np.random.default_rng(3)
+    a = random_matrix(rng, 200, 300, 3000)
+    op = build_routed_op(a, group_rows=4)
+    d = sp.diags(rng.uniform(0.5, 2.0, 200))
+    e = sp.diags(rng.uniform(0.5, 2.0, 300))
+    b = sp.csr_matrix(d @ a @ e)
+    op2 = build_routed_op(b, share_plan_with=op)
+    assert op2.loc_e is op.loc_e  # shared device buffer, not a copy
+    x = rng.normal(size=300).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op2.mv(jnp.asarray(x))),
+        b.astype(np.float32) @ x,
+        atol=3e-6 * max(1.0, float(np.abs(b @ x).max())),
+    )
+
+    c = random_matrix(rng, 200, 300, 2999)  # different pattern
+    with pytest.raises(ValueError, match="pattern"):
+        build_routed_op(c, share_plan_with=op)
+
+
+def test_dtype_preserved():
+    rng = np.random.default_rng(5)
+    a = random_matrix(rng, 100, 100, 900)
+    op = build_routed_op(a, group_rows=2)
+    x64 = jnp.asarray(rng.normal(size=100))  # f64 under x64 mode
+    out = op.mv(x64)
+    assert out.dtype == x64.dtype
+
+
+def test_build_linop_routed_format():
+    rng = np.random.default_rng(9)
+    a = random_matrix(rng, 300, 300, 4000)
+    op = build_linop(a, jnp.float32, format="routed")
+    assert isinstance(op, RoutedOp)
+    with pytest.raises(ValueError, match="f32"):
+        build_linop(a, jnp.float64, format="routed")
+
+
+def test_solver_with_routed_format():
+    """End-to-end PDHG with matrix_format='routed' (interpret mode on
+    CPU) reproduces the ELL solve on a small LP."""
+    import dataclasses
+
+    from firstorderlp_tpu.models.pdhg import optimize
+    from utils import pdhg_params, terminate_on_iteration_limit
+
+    rng = np.random.default_rng(11)
+    n = 60
+    a = sp.random(n, n, density=0.2, random_state=2, format="csr")
+    a = a + sp.eye(n)
+    from firstorderlp_tpu import linear_programming_problem
+
+    prob = linear_programming_problem(
+        np.zeros(n),
+        np.full(n, 10.0),
+        rng.uniform(0.5, 1.5, n),
+        0.0,
+        a,
+        rng.uniform(0.1, 1.0, n),
+        0,
+    )
+    params = dataclasses.replace(
+        pdhg_params(terminate_on_iteration_limit(80), ruiz_iterations=10),
+        dtype="float32",
+        matrix_format="routed",
+    )
+    params_ell = dataclasses.replace(params, matrix_format="ell")
+    out_r = optimize(params, prob)
+    out_e = optimize(params_ell, prob)
+    assert out_r.iteration_count == out_e.iteration_count
+    np.testing.assert_allclose(
+        out_r.primal_solution, out_e.primal_solution, atol=1e-4
+    )
