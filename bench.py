@@ -28,7 +28,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: BENCH_NODES (default 20000), BENCH_BATCH (128), BENCH_ITERS
 (600 per instance), BENCH_DTYPE (float32), BENCH_SINGLE=1 to instead
-report the single-instance metric.
+report the single-instance metric, BENCH_TARGET=1e-8 to report
+single-instance time-to-tolerance via the split-precision driver (f32
+routed phase + f64 warm-started tail, refine.py); its vs_baseline is
+(estimated 1-CPU-core time for the same KKT passes) / (measured time).
 """
 
 import json
@@ -84,6 +87,70 @@ def make_params(limit, dtype, evals_per_dispatch=64, fmt="ell"):
     )
 
 
+def run_time_to_tolerance(num_nodes, target):
+    """Single-instance time-to-tolerance (the reference's declared
+    correctness bar: 1e-8 relative KKT error, termination.jl:33-45) on
+    real hardware via the split-precision driver."""
+    import dataclasses
+
+    import numpy as np
+
+    from firstorderlp_tpu import TerminationCriteria
+    from firstorderlp_tpu.generators import generate_pagerank_lp
+    from firstorderlp_tpu.models.pdhg import prepare_problem
+    from firstorderlp_tpu.refine import (
+        optimize_split_precision,
+        phase1_params,
+    )
+
+    problem = generate_pagerank_lp(num_nodes=num_nodes, seed=0)
+    nnz = problem.constraint_matrix.nnz
+    params = make_params(10**9, "float32", evals_per_dispatch=8)
+    params = dataclasses.replace(
+        params,
+        termination_criteria=TerminationCriteria(
+            eps_optimal_absolute=target,
+            eps_optimal_relative=target,
+            eps_primal_infeasible=1e-10,
+            eps_dual_infeasible=1e-10,
+            iteration_limit=200_000,
+            kkt_matrix_pass_limit=float(np.inf),
+        ),
+    )
+    prepared = prepare_problem(phase1_params(params), problem)
+    t0 = time.time()
+    out = optimize_split_precision(params, problem, prepared=prepared)
+    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    out = optimize_split_precision(params, problem, prepared=prepared)
+    solve_time = time.time() - t0
+    last = out.iteration_stats[-1]
+    kkt = last.cumulative_kkt_matrix_passes
+    ci = last.convergence_information[0]
+    print(
+        f"# {out.termination_string} in {out.iteration_count} iters, "
+        f"{solve_time:.2f}s, kkt={kkt:.0f}, rel residuals "
+        f"p={ci.relative_l2_primal_residual:.1e} "
+        f"d={ci.relative_l2_dual_residual:.1e} "
+        f"gap={ci.relative_optimality_gap:.1e}",
+        file=sys.stderr,
+    )
+    cpu_estimate = kkt * 2.0 * nnz / 2.5e8
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"pdhg_time_to_{target:g}_sec_pagerank_{num_nodes}"
+                ),
+                "value": round(solve_time, 3),
+                "unit": "seconds",
+                "vs_baseline": round(cpu_estimate / solve_time, 3),
+            }
+        )
+    )
+
+
 def main():
     num_nodes = int(os.environ.get("BENCH_NODES", 20_000))
     batch = int(os.environ.get("BENCH_BATCH", 128))
@@ -92,6 +159,7 @@ def main():
     # 1e-8-tolerance CPU/f64 path is exercised by tests.
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     single = os.environ.get("BENCH_SINGLE", "0") == "1"
+    target = os.environ.get("BENCH_TARGET")
 
     import jax
 
@@ -114,6 +182,10 @@ def main():
         generate_pagerank_lp_fleet,
     )
     from firstorderlp_tpu.models.pdhg import optimize, prepare_problem
+
+    if target:
+        run_time_to_tolerance(num_nodes, float(target))
+        return
 
     t0 = time.time()
     if single:

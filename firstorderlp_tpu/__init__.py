@@ -83,6 +83,8 @@ from .models.pdhg import (  # noqa: E402
 from .models.mirror_prox import MirrorProxParameters  # noqa: E402
 from .models.api import optimize  # noqa: E402
 
+from .refine import optimize_split_precision
+
 __all__ = [
     "QuadraticProgrammingProblem",
     "ScaledQpProblem",
@@ -121,6 +123,7 @@ __all__ = [
     "ConstantStepsizeParams",
     "MirrorProxParameters",
     "optimize",
+    "optimize_split_precision",
 ]
 
 __version__ = "0.1.0"

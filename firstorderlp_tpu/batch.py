@@ -30,6 +30,7 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 
 from .models import pdhg as _pdhg
 from .models.common import (
@@ -161,16 +162,427 @@ class SharedPatternFleet:
     scaled_problems: list
 
 
+def _ell_value_positions(pattern: sp.csr_matrix):
+    """ELL index planes of `pattern` plus entry-id maps for scattering
+    per-instance value planes without per-instance ELL builds.
+
+    Builds the bucketed ELL ONCE with data = (csr entry id + 1); each
+    returned plane of ids maps slots to csr entries (0 = padding)."""
+    from .ops.linops import build_sparse_op
+
+    ids = sp.csr_matrix(
+        (
+            np.arange(1, pattern.nnz + 1, dtype=np.float64),
+            pattern.indices.copy(),
+            pattern.indptr.copy(),
+        ),
+        shape=pattern.shape,
+    )
+    return build_sparse_op(ids, dtype=jnp.float64, convert=np.asarray)
+
+
+def _gather_rows(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """values[idx] over leading-axis rows (PROMISE_IN_BOUNDS; indices
+    are validated at build time). One indexed op whose per-index slice
+    is a contiguous (1, B) row - the fleet-amortized gather."""
+    from jax import lax
+
+    return lax.gather(
+        values,
+        idx.reshape(-1)[:, None],
+        lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, values.shape[1]),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(idx.shape + (values.shape[1],))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "ruiz_iterations", "l2_flag", "pc_alpha"),
+)
+def _device_fleet_build(
+    v_orig,  # (nnz, B) solve dtype, csr entry order
+    rows,  # (nnz,) int32
+    cols,  # (nnz,) int32
+    vectors,  # dict of (dim, B) original problem vectors
+    id_planes,  # dict: half -> list of (rows_b*k,) int32 id arrays
+    m,
+    n,
+    ruiz_iterations,
+    l2_flag,
+    pc_alpha,
+):
+    """Rescales the whole fleet and builds every ELL value plane ON
+    DEVICE. Host ships one (nnz, B) value array + the original problem
+    vectors; segment reductions/gathers amortize over the minor batch
+    axis (one indexed op each), so the build runs in O(passes) device
+    time instead of O(B) host loops + O(plane bytes) transfer.
+
+    Reproduces rescale_problem's composition (preprocess.py:191-245;
+    reference preprocess.jl:626-687) in the value dtype.
+    """
+    b = v_orig.shape[1]
+    dt = v_orig.dtype
+    one = jnp.ones((), dt)
+    cum_con = jnp.ones((m, b), dt)
+    cum_var = jnp.ones((n, b), dt)
+    v = v_orig
+
+    def seg_max(x, ids, num):
+        return jax.ops.segment_max(
+            x, ids, num, indices_are_sorted=False, unique_indices=False
+        )
+
+    def seg_sum(x, ids, num):
+        return jax.ops.segment_sum(x, ids, num)
+
+    def fix(s):
+        return jnp.where(s > 0, s, one)
+
+    for _ in range(ruiz_iterations):
+        var = fix(jnp.sqrt(seg_max(jnp.abs(v), cols, n)))
+        con = fix(jnp.sqrt(seg_max(jnp.abs(v), rows, m)))
+        # scale_problem applies (E^-1 A) D^-1: rows first, then cols.
+        v = v / _gather_rows(con, rows)
+        v = v / _gather_rows(var, cols)
+        cum_con = cum_con * con
+        cum_var = cum_var * var
+
+    if l2_flag:
+        con = fix(jnp.sqrt(jnp.sqrt(seg_sum(v * v, rows, m))))
+        var = fix(jnp.sqrt(jnp.sqrt(seg_sum(v * v, cols, n))))
+        v = v / _gather_rows(con, rows)
+        v = v / _gather_rows(var, cols)
+        cum_con = cum_con * con
+        cum_var = cum_var * var
+
+    if pc_alpha is not None:
+        absv = jnp.abs(v)
+        var = fix(jnp.sqrt(seg_sum(absv ** (2.0 - pc_alpha), cols, n)))
+        con = fix(jnp.sqrt(seg_sum(absv**pc_alpha, rows, m)))
+        v = v / _gather_rows(con, rows)
+        v = v / _gather_rows(var, cols)
+        cum_con = cum_con * con
+        cum_var = cum_var * var
+
+    def planes(values, half):
+        out = []
+        for ids in id_planes[half]:
+            gathered = _gather_rows(values, jnp.maximum(ids - 1, 0))
+            out.append(jnp.where((ids > 0)[:, None], gathered, 0.0))
+        return out
+
+    scaled_planes = {h: planes(v, h) for h in ("fwd", "bwd")}
+    orig_planes = {h: planes(v_orig, h) for h in ("fwd", "bwd")}
+
+    scaled_vectors = {
+        "c": vectors["c"] / cum_var,
+        "b": vectors["b"] / cum_con,
+        "lo": vectors["lo"] * cum_var,
+        "hi": vectors["hi"] * cum_var,
+    }
+    inf_norm = jnp.max(jnp.abs(v), axis=0)
+    step_size = jnp.where(inf_norm > 0, 1.0 / inf_norm, 1.0)
+    norm_c = jnp.linalg.norm(scaled_vectors["c"], axis=0)
+    norm_b = jnp.linalg.norm(scaled_vectors["b"], axis=0)
+    return (
+        scaled_planes,
+        orig_planes,
+        scaled_vectors,
+        cum_con,
+        cum_var,
+        step_size,
+        norm_c,
+        norm_b,
+    )
+
+
+class _PatternMismatch(Exception):
+    pass
+
+
 def prepare_shared_pattern_fleet(
     params: _pdhg.PdhgParameters,
     problems: Sequence[QuadraticProgrammingProblem],
 ) -> SharedPatternFleet:
     """Rescales, builds the shared ELL structure, stacks instance values
-    along the minor axis (host side) and transfers the fleet to device.
+    along the minor axis and transfers the fleet to device.
 
     Separated from the solve so repeated solves (warm starts, benchmark
-    protocols) don't pay ingest again.
+    protocols) don't pay ingest again. LP fleets with the adaptive step
+    rule take the device-build fast path (one ELL-id build per pattern,
+    one (nnz, B) transfer, rescaling + value-plane scatter on device);
+    QPs and constant-step fleets fall back to the per-instance loop.
     """
+    fast_ok = (
+        len(problems) > 0
+        and isinstance(
+            params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
+        )
+        and all(p.objective_matrix.nnz == 0 for p in problems)
+    )
+    if fast_ok:
+        try:
+            return _prepare_fleet_fast(params, problems)
+        except _PatternMismatch:
+            raise ValueError(
+                "shared-pattern batching requires identical sparsity "
+                "patterns (use solve_batch for heterogeneous fleets)"
+            )
+    return _prepare_fleet_slow(params, problems)
+
+
+def _fast_bundle_axis(leaf):
+    """vmap batch axis for a leaf of the device-built (pre-batched)
+    bundle: float leaves with >=2 dims are minor-axis batched, (B,)
+    float scalars are axis 0, integer/bool planes are shared. Mirrors
+    _batch_axis_for_leaf's rule on the unbatched template."""
+    arr = np.asarray(leaf)
+    if not np.issubdtype(arr.dtype, np.floating):
+        return None
+    return 0 if arr.ndim == 1 else -1
+
+
+def _prepare_fleet_fast(
+    params: _pdhg.PdhgParameters,
+    problems: Sequence[QuadraticProgrammingProblem],
+) -> SharedPatternFleet:
+    from .ops.device_problem import DeviceQp, DeviceQpCache, DeviceScaledQp
+    from .ops.linops import EllBucket, EllHalf, SparseOp
+    from .problem import ScaledQpProblem
+
+    dtype = jnp.dtype(params.dtype)
+    np_dtype = np.dtype(dtype.name)
+    b = len(problems)
+    for p in problems:
+        validate(p)
+    mats = [sp.csr_matrix(p.constraint_matrix) for p in problems]
+    for a in mats:
+        a.sum_duplicates()
+    pat = mats[0]
+    m, n = pat.shape
+    k_eq = problems[0].num_equalities
+    for p, a in zip(problems, mats):
+        if (
+            a.shape != pat.shape
+            or a.nnz != pat.nnz
+            or p.num_equalities != k_eq
+            or not np.array_equal(a.indptr, pat.indptr)
+            or not np.array_equal(a.indices, pat.indices)
+        ):
+            raise _PatternMismatch()
+
+    # the ONLY O(B * nnz) host work: stack + one transfer
+    v_orig = jnp.asarray(
+        np.ascontiguousarray(
+            np.stack([a.data for a in mats], axis=1)
+        ).astype(np_dtype)
+    )  # (nnz, B)
+    rows = jnp.asarray(
+        np.repeat(
+            np.arange(m, dtype=np.int32), np.diff(pat.indptr)
+        )
+    )
+    cols = jnp.asarray(pat.indices.astype(np.int32))
+
+    def stackT(get, dt=np_dtype):
+        return jnp.asarray(
+            np.stack([np.asarray(get(p)) for p in problems], axis=1).astype(
+                dt
+            )
+        )
+
+    vectors = {
+        "c": stackT(lambda p: p.objective_vector),
+        "b": stackT(lambda p: p.right_hand_side),
+        "lo": stackT(lambda p: p.variable_lower_bound),
+        "hi": stackT(lambda p: p.variable_upper_bound),
+    }
+    const = jnp.asarray(
+        np.array(
+            [float(p.objective_constant) for p in problems], np_dtype
+        )
+    )
+
+    id_op = _ell_value_positions(pat)
+    id_planes = {
+        half: [
+            jnp.asarray(
+                np.asarray(bk.vals).astype(np.int32).reshape(-1)
+            )
+            for bk in getattr(id_op, half).buckets
+        ]
+        for half in ("fwd", "bwd")
+    }
+
+    (
+        scaled_planes,
+        orig_planes,
+        scaled_vectors,
+        cum_con,
+        cum_var,
+        step_size,
+        norm_c,
+        norm_b,
+    ) = _device_fleet_build(
+        v_orig,
+        rows,
+        cols,
+        vectors,
+        id_planes,
+        m,
+        n,
+        int(params.l_inf_ruiz_iterations),
+        bool(params.l2_norm_rescaling),
+        None
+        if params.pock_chambolle_alpha is None
+        else float(params.pock_chambolle_alpha),
+    )
+
+    is_equality = np.zeros(m, dtype=bool)
+    is_equality[:k_eq] = True
+
+    def build_op(planes):
+        def half(name):
+            h = getattr(id_op, name)
+            buckets = tuple(
+                EllBucket(
+                    cols=jnp.asarray(bk.cols),
+                    vals=plane.reshape(bk.cols.shape + (b,)),
+                )
+                for bk, plane in zip(h.buckets, planes[name])
+            )
+            return EllHalf(
+                buckets=buckets, inv_perm=jnp.asarray(h.inv_perm)
+            )
+
+        return SparseOp(
+            fwd=half("fwd"), bwd=half("bwd"), num_rows=m, num_cols=n
+        )
+
+    def device_qp(planes, cvec, rvec, lvec, uvec):
+        return DeviceQp(
+            variable_lower_bound=lvec,
+            variable_upper_bound=uvec,
+            objective_vector=cvec,
+            objective_constant=const,
+            right_hand_side=rvec,
+            is_equality=jnp.asarray(is_equality),
+            constraint_matrix=build_op(planes),
+            objective_matrix=None,
+        )
+
+    # qp-cache norms of the ORIGINAL c and b (termination.jl:140-158)
+    qp_cache = DeviceQpCache(
+        l_inf_norm_primal_linear_objective=jnp.max(
+            jnp.abs(vectors["c"]), axis=0
+        ),
+        l_inf_norm_primal_right_hand_side=jnp.max(
+            jnp.abs(vectors["b"]), axis=0
+        ),
+        l2_norm_primal_linear_objective=jnp.linalg.norm(
+            vectors["c"], axis=0
+        ),
+        l2_norm_primal_right_hand_side=jnp.linalg.norm(
+            vectors["b"], axis=0
+        ),
+    )
+    batched_bundle = DeviceScaledQp(
+        scaled=device_qp(
+            scaled_planes,
+            scaled_vectors["c"],
+            scaled_vectors["b"],
+            scaled_vectors["lo"],
+            scaled_vectors["hi"],
+        ),
+        original=device_qp(
+            orig_planes,
+            vectors["c"],
+            vectors["b"],
+            vectors["lo"],
+            vectors["hi"],
+        ),
+        constraint_rescaling=cum_con,
+        variable_rescaling=cum_var,
+        qp_cache=qp_cache,
+    )
+
+    # initial state: single-instance template (all vector leaves zeros)
+    # batched by the slow path's stacking rule, then per-instance step
+    # size (1/max|A_scaled|), primal weight and KKT counter.
+    class _ShimScaled:
+        num_variables = n
+        num_constraints = m
+
+    class _Shim:
+        scaled = _ShimScaled()
+
+    state_template = _pdhg._initial_state(_Shim(), dtype)
+
+    def batch_state_leaf(leaf):
+        arr = np.asarray(leaf)
+        axis = _batch_axis_for_leaf(arr)
+        if axis == 0:
+            return jnp.asarray(np.broadcast_to(arr, (b,)).copy())
+        if axis == -1:
+            return jnp.asarray(np.zeros(arr.shape + (b,), arr.dtype))
+        return jnp.asarray(arr)
+
+    state = jax.tree_util.tree_map(batch_state_leaf, state_template)
+    if params.scale_invariant_initial_primal_weight:
+        primal_weight = jnp.where(
+            (norm_c > 0) & (norm_b > 0),
+            params.primal_importance
+            * norm_c
+            / jnp.where(norm_b > 0, norm_b, 1.0),
+            params.primal_importance,
+        ).astype(dtype)
+    else:
+        primal_weight = jnp.full(b, params.primal_importance, dtype)
+    state = dataclasses.replace(
+        state,
+        step_size=step_size.astype(dtype),
+        primal_weight=primal_weight,
+        cumulative_kkt_passes=jnp.full(b, 0.5, jnp.float64),
+    )
+
+    single_state_axes = jax.tree_util.tree_map(
+        _batch_axis_for_leaf, state_template
+    )
+    single_bundle_axes = jax.tree_util.tree_map(
+        _fast_bundle_axis, batched_bundle
+    )
+
+    # one fetch for the host-side unscaling vectors
+    cum_con_h, cum_var_h = jax.device_get((cum_con, cum_var))
+    scaled_problems = [
+        ScaledQpProblem(
+            original_qp=problems[i],
+            # the scaled scipy copy is not materialized on the fast
+            # path; only the rescaling vectors are used downstream.
+            scaled_qp=problems[i],
+            constraint_rescaling=cum_con_h[:, i].astype(np.float64),
+            variable_rescaling=cum_var_h[:, i].astype(np.float64),
+        )
+        for i in range(b)
+    ]
+    return SharedPatternFleet(
+        batched_bundle=batched_bundle,
+        initial_state=state,
+        axes_box=_AxesBox(single_bundle_axes, single_state_axes),
+        scaled_problems=scaled_problems,
+    )
+
+
+def _prepare_fleet_slow(
+    params: _pdhg.PdhgParameters,
+    problems: Sequence[QuadraticProgrammingProblem],
+) -> SharedPatternFleet:
+    """Per-instance ingest loop (QPs, constant-step fleets)."""
     if not isinstance(
         params.step_size_policy_params,
         (_pdhg.AdaptiveStepsizeParams, _pdhg.ConstantStepsizeParams),

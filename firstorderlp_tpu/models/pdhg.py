@@ -744,10 +744,17 @@ class PreparedProblem:
 def prepare_problem(
     params: PdhgParameters,
     original_problem: QuadraticProgrammingProblem,
+    warm_start=None,
 ) -> PreparedProblem:
     """Validates, rescales and transfers `original_problem` for
     `optimize` (reference: the rescaling step of optimize, pdhg.jl:
-    769-819, split out for reuse)."""
+    769-819, split out for reuse).
+
+    warm_start: optional (primal, dual) in UNSCALED space; the solver
+    starts from that point instead of zeros (no reference counterpart -
+    the reference always cold-starts, pdhg.jl:806-810; used by the
+    split-precision refinement driver and restart-from-checkpoint
+    workflows)."""
     validate(original_problem)
     if isinstance(
         params.step_size_policy_params, MalitskyPockStepsizeParameters
@@ -807,6 +814,28 @@ def prepare_problem(
             cumulative_kkt_passes, jnp.float64
         ),
     )
+    if warm_start is not None:
+        from ..saddle_point import create_last_restart_info
+
+        primal0, dual0 = warm_start
+        x0 = jnp.asarray(
+            np.asarray(primal0)
+            * np.asarray(scaled_problem.variable_rescaling),
+            dtype,
+        )
+        y0 = jnp.asarray(
+            np.asarray(dual0)
+            * np.asarray(scaled_problem.constraint_rescaling),
+            dtype,
+        )
+        state = dataclasses.replace(
+            state,
+            current_primal_solution=x0,
+            current_dual_solution=y0,
+            current_dual_product=bundle.scaled.aty(y0),
+            restart_info=create_last_restart_info(x0, y0),
+            cumulative_kkt_passes=state.cumulative_kkt_passes + 0.5,
+        )
     return PreparedProblem(
         scaled_problem=scaled_problem, bundle=bundle, initial_state=state
     )

@@ -174,3 +174,44 @@ def test_shared_pattern_l1_svm_regularization_path():
         np.testing.assert_allclose(batched_obj, single_obj, rtol=1e-5)
         objs.append(batched_obj)
     assert objs[0] <= objs[1] + 1e-6 <= objs[2] + 1e-6
+
+
+def test_fast_fleet_ingest_matches_slow_path():
+    """The device-build fast ingest (one (nnz,B) transfer + on-device
+    rescale/plane scatter) must reproduce the per-instance slow loop
+    exactly in f64: same iterates, KKT passes and solutions."""
+    from firstorderlp_tpu.batch import (
+        _prepare_fleet_slow,
+        prepare_shared_pattern_fleet,
+        solve_batch_shared_pattern,
+    )
+    from firstorderlp_tpu.generators import generate_pagerank_lp_fleet
+
+    problems = generate_pagerank_lp_fleet(
+        300, np.linspace(0.7, 0.99, 4), seed=0
+    )
+    from utils import terminate_on_iteration_limit
+
+    params = pdhg_params(
+        terminate_on_iteration_limit(80), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    )
+    params.matrix_format = "ell"
+    fast = prepare_shared_pattern_fleet(params, problems)
+    slow = _prepare_fleet_slow(params, problems)
+    out_f = solve_batch_shared_pattern(params, problems, fleet=fast)
+    out_s = solve_batch_shared_pattern(params, problems, fleet=slow)
+    for a, b in zip(out_f, out_s):
+        np.testing.assert_allclose(
+            a.primal_solution, b.primal_solution, atol=1e-9, rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            a.dual_solution, b.dual_solution, atol=1e-9, rtol=1e-9
+        )
+        assert (
+            abs(
+                a.iteration_stats[-1].cumulative_kkt_matrix_passes
+                - b.iteration_stats[-1].cumulative_kkt_matrix_passes
+            )
+            < 1e-9
+        )
