@@ -1,0 +1,307 @@
+"""Benchmark campaign: the in-repo counterpart of the reference's paper
+experiments (scripts/csv/*.csv + scripts/analyze_csv_data.py).
+
+Runs the synthetic suite (21 instances, 7 structural families -
+benchmarking/synthetic_suite.py) through:
+
+- the PDLP improvements LADDER (reference analyze_csv_data.py:100-115):
+  vanilla PDHG -> +restarts -> +scaling -> +primal weight -> +adaptive
+  step size -> +presolve (= PDLP), at 1e-4;
+- full PDLP, vanilla PDHG and Mirror Prox at BOTH 1e-4 and 1e-8;
+- the HiGHS external baseline (apples-to-apples residuals);
+
+under the reference budget (kkt_matrix_pass_limit = 1e5, per-solve time
+limit) and aggregates everything into benchmarking/campaign/ (summary
+JSONs -> results.csv -> summary/curves/ladder tables) plus
+docs/results.md formatted side by side with BASELINE.md.
+
+Idempotent: per-solve JSONs are skipped when present, so an interrupted
+campaign resumes where it stopped.
+
+Usage: JAX_PLATFORMS=cpu python benchmarking/run_campaign.py
+       [--out benchmarking/campaign] [--time_limit 600]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+import firstorderlp_tpu as folp  # noqa: E402
+from firstorderlp_tpu import (  # noqa: E402
+    AdaptiveStepsizeParams,
+    ConstantStepsizeParams,
+    MirrorProxParameters,
+    PdhgParameters,
+    RestartScheme,
+    RestartToCurrentMetric,
+    TerminationCriteria,
+    construct_restart_parameters,
+)
+from firstorderlp_tpu.models.api import optimize as optimize_any  # noqa
+from firstorderlp_tpu.solve_log import (  # noqa: E402
+    PointType,
+    SolveLog,
+    solve_log_to_json,
+    termination_reason_to_string,
+)
+import synthetic_suite  # noqa: E402
+
+
+def restart_params(scheme=RestartScheme.ADAPTIVE_NORMALIZED):
+    return construct_restart_parameters(
+        restart_scheme=scheme,
+        restart_to_current_metric=(
+            RestartToCurrentMetric.GAP_OVER_DISTANCE_SQUARED
+        ),
+        restart_frequency_if_fixed=100,
+        artificial_restart_threshold=0.5,
+        sufficient_reduction_for_restart=0.1,
+        necessary_reduction_for_restart=0.9,
+        primal_weight_update_smoothing=0.5,
+        use_approximate_localized_duality_gap=False,
+    )
+
+
+def criteria(tol, time_limit):
+    return TerminationCriteria(
+        eps_optimal_absolute=tol,
+        eps_optimal_relative=tol,
+        eps_primal_infeasible=1e-10,
+        eps_dual_infeasible=1e-10,
+        iteration_limit=2**31 - 2,
+        kkt_matrix_pass_limit=1e5,
+        time_sec_limit=time_limit,
+    )
+
+
+def pdhg_config(
+    tol,
+    time_limit,
+    restarts=True,
+    scaling=True,
+    primal_weight=True,
+    adaptive_step=True,
+):
+    """One rung of the improvements ladder (cumulative flags)."""
+    return PdhgParameters(
+        l_inf_ruiz_iterations=10 if scaling else 0,
+        l2_norm_rescaling=False,
+        pock_chambolle_alpha=1.0 if scaling else None,
+        primal_importance=1.0,
+        scale_invariant_initial_primal_weight=primal_weight,
+        verbosity=0,
+        record_iteration_stats=False,
+        termination_evaluation_frequency=40,
+        termination_criteria=criteria(tol, time_limit),
+        restart_params=restart_params(
+            RestartScheme.ADAPTIVE_NORMALIZED
+            if restarts
+            else RestartScheme.NO_RESTARTS
+        ),
+        step_size_policy_params=(
+            AdaptiveStepsizeParams(
+                reduction_exponent=0.3, growth_exponent=0.6
+            )
+            if adaptive_step
+            else ConstantStepsizeParams()
+        ),
+        evaluations_per_dispatch=8,
+    )
+
+
+def mp_config(tol, time_limit):
+    return MirrorProxParameters(
+        l_inf_ruiz_iterations=10,
+        l2_norm_rescaling=False,
+        pock_chambolle_alpha=1.0,
+        primal_importance=1.0,
+        scale_invariant_initial_primal_weight=True,
+        diagonal_scaling="l1",
+        verbosity=0,
+        record_iteration_stats=False,
+        termination_evaluation_frequency=40,
+        termination_criteria=criteria(tol, time_limit),
+        restart_params=restart_params(),
+    )
+
+
+def build_experiments(time_limit):
+    """label -> (params or ('external', solver), tolerance, presolve)."""
+    exps = {}
+    ladder = [
+        ("pdhg_vanilla", dict(restarts=False, scaling=False,
+                              primal_weight=False, adaptive_step=False),
+         False),
+        ("pdhg_restarts", dict(restarts=True, scaling=False,
+                               primal_weight=False, adaptive_step=False),
+         False),
+        ("pdhg_scaling", dict(restarts=True, scaling=True,
+                              primal_weight=False, adaptive_step=False),
+         False),
+        ("pdhg_primal_weight", dict(restarts=True, scaling=True,
+                                    primal_weight=True,
+                                    adaptive_step=False), False),
+        ("pdhg_stepsize", dict(restarts=True, scaling=True,
+                               primal_weight=True, adaptive_step=True),
+         False),
+        ("pdlp", dict(restarts=True, scaling=True, primal_weight=True,
+                      adaptive_step=True), True),
+    ]
+    for label, flags, presolve in ladder:
+        exps[f"{label}_1e-4"] = (
+            pdhg_config(1e-4, time_limit, **flags), 1e-4, presolve
+        )
+    for tol, tag in ((1e-8, "1e-8"),):
+        exps[f"pdlp_{tag}"] = (
+            pdhg_config(tol, time_limit), tol, True
+        )
+        exps[f"pdhg_vanilla_{tag}"] = (
+            pdhg_config(tol, time_limit, restarts=False, scaling=False,
+                        primal_weight=False, adaptive_step=False),
+            tol, False,
+        )
+        exps[f"mirror_prox_{tag}"] = (mp_config(tol, time_limit), tol,
+                                      False)
+    exps["mirror_prox_1e-4"] = (mp_config(1e-4, time_limit), 1e-4, False)
+    exps["highs_1e-8"] = (("external", "highs"), 1e-8, False)
+    return exps
+
+
+def solve_one(params, problem, presolve, instance_name, out_path):
+    if presolve:
+        import copy
+
+        problem = copy.deepcopy(problem)
+        folp.presolve(problem, verbosity=0, transform_bounds=False)
+    t0 = time.time()
+    output = optimize_any(params, problem)
+    wall = time.time() - t0
+    stats = output.iteration_stats[-1] if output.iteration_stats else None
+    log = SolveLog(
+        instance_name=instance_name,
+        command_line_invocation="benchmarking/run_campaign.py",
+        termination_reason=output.termination_reason,
+        termination_string=output.termination_string,
+        iteration_count=output.iteration_count,
+        solve_time_sec=wall,
+        solution_stats=stats,
+        solution_type=PointType.POINT_TYPE_AVERAGE_ITERATE,
+    )
+    with open(out_path, "w") as f:
+        f.write(solve_log_to_json(log))
+    return output, wall
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=os.path.join(
+        REPO, "benchmarking", "campaign"))
+    p.add_argument("--time_limit", type=float, default=600.0)
+    p.add_argument("--only", default=None,
+                   help="comma-separated experiment labels to run")
+    args = p.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    inst_dir = os.path.join(args.out, "instances")
+    os.makedirs(inst_dir, exist_ok=True)
+    suite = synthetic_suite.build_suite(seed=0)
+    # persist the corpus for reproducibility / external baselines
+    from firstorderlp_tpu.io.mps_writer import write_mps
+
+    for name, prob in suite.items():
+        path = os.path.join(inst_dir, f"{name}.mps.gz")
+        if not os.path.exists(path):
+            write_mps(prob, path)
+
+    exps = build_experiments(args.time_limit)
+    if args.only:
+        keep = set(args.only.split(","))
+        exps = {k: v for k, v in exps.items() if k in keep}
+    datasets = []
+    for label, (params, tol, presolve) in exps.items():
+        logs_dir = os.path.join(args.out, "logs", label)
+        os.makedirs(logs_dir, exist_ok=True)
+        datasets.append(
+            {
+                "config": {"experiment_label": label},
+                "logs_directory": logs_dir,
+            }
+        )
+        for name, problem in suite.items():
+            out_path = os.path.join(logs_dir, f"{name}_summary.json")
+            if os.path.exists(out_path):
+                continue
+            t0 = time.time()
+            if isinstance(params, tuple) and params[0] == "external":
+                rc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(REPO, "cli", "solve_lp_external.py"),
+                        "--solver", params[1],
+                        "--output_dir", logs_dir,
+                        "--instance_path",
+                        os.path.join(inst_dir, f"{name}.mps.gz"),
+                        "--tolerance", str(tol),
+                    ],
+                    capture_output=True, text=True,
+                )
+                status = "ok" if rc.returncode == 0 else "FAIL"
+                print(f"[{label}] {name}: external {status} "
+                      f"({time.time()-t0:.1f}s)", flush=True)
+                continue
+            try:
+                output, wall = solve_one(
+                    params, problem, presolve, name, out_path
+                )
+                print(
+                    f"[{label}] {name}: {output.termination_string} "
+                    f"iters={output.iteration_count} {wall:.1f}s",
+                    flush=True,
+                )
+            except Exception as exc:  # record the failure, keep going
+                print(f"[{label}] {name}: ERROR {exc}", flush=True)
+
+    layout = {"datasets": datasets, "config_labels": ["experiment_label"]}
+    layout_path = os.path.join(args.out, "layout.json")
+    with open(layout_path, "w") as f:
+        json.dump(layout, f, indent=1)
+    csv_path = os.path.join(args.out, "results.csv")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "process_json_to_csv.py"),
+         layout_path, csv_path],
+        check=True,
+    )
+    with open(os.path.join(args.out, "summary.csv"), "w") as f:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "cli", "analyze_results.py"),
+             csv_path, "--curves", os.path.join(args.out, "curves.csv"),
+             "--ladder", os.path.join(args.out, "ladder.csv"),
+             "--per_dataset", os.path.join(args.out, "per_dataset.csv")],
+            check=True, stdout=f,
+        )
+    subprocess.run(
+        [sys.executable, os.path.join(
+            REPO, "benchmarking", "campaign_report.py"), args.out],
+        check=True,
+    )
+    print(f"campaign complete -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -100,18 +100,77 @@ def box_qp_like_lp(n, seed):
 
 
 def build_suite(seed=0):
+    """21 instances across 7 structural families - the in-repo
+    Netlib-stand-in corpus for the benchmark campaign (the reference's
+    instance lists are not fetchable in a zero-egress environment)."""
     suite = {
         "transport_small": transport_lp(20, 30, seed),
+        "transport_mid": transport_lp(40, 50, seed + 10),
         "transport_large": transport_lp(60, 80, seed + 1),
         "random_sparse_1": random_sparse_lp(400, 600, 0.02, seed + 2),
         "random_sparse_2": random_sparse_lp(800, 500, 0.01, seed + 3),
+        "random_sparse_3": random_sparse_lp(300, 1000, 0.03, seed + 11),
+        "random_sparse_4": random_sparse_lp(1200, 900, 0.005, seed + 12),
         "box_bound": box_qp_like_lp(500, seed + 4),
+        "box_bound_2": box_qp_like_lp(900, seed + 13),
+        "pagerank_1k": generate_pagerank_lp(1000, seed=seed + 14),
         "pagerank_2k": generate_pagerank_lp(2000, seed=seed),
+        "pagerank_5k": generate_pagerank_lp(5000, seed=seed + 15),
         "l1_svm": generate_l1_svm_lp(
             random_svm_data(100, 40, density=0.3, seed=seed + 5),
             regularizer_weight=1.0,
         ),
+        "l1_svm_wide": generate_l1_svm_lp(
+            random_svm_data(80, 200, density=0.2, seed=seed + 16),
+            regularizer_weight=0.5,
+        ),
+        "l1_svm_tall": generate_l1_svm_lp(
+            random_svm_data(300, 50, density=0.25, seed=seed + 17),
+            regularizer_weight=2.0,
+        ),
     }
+    # assignment relaxations (transport with unit supply/demand)
+    for i, size in enumerate((25, 45)):
+        suite[f"assignment_{size}"] = transport_lp(
+            size, size, seed + 20 + i
+        )
+    # degenerate: duplicated rows (dependent constraints)
+    for i, (m, n) in enumerate(((200, 300), (500, 400))):
+        base = random_sparse_lp(m, n, 0.02, seed + 30 + i)
+        a = sp.vstack(
+            [base.constraint_matrix, base.constraint_matrix[: m // 4]]
+        ).tocsc()
+        rhs = np.concatenate(
+            [base.right_hand_side, base.right_hand_side[: m // 4]]
+        )
+        suite[f"degenerate_{i}"] = linear_programming_problem(
+            base.variable_lower_bound,
+            base.variable_upper_bound,
+            base.objective_vector,
+            0.0,
+            a,
+            rhs,
+            base.num_equalities,
+        )
+    # near-degenerate objective ties
+    for i, n in enumerate((400, 700)):
+        rng = np.random.default_rng(seed + 40 + i)
+        a = sp.random(
+            n // 2, n, density=0.02, random_state=seed + 40 + i,
+            format="csc",
+        )
+        a = sp.vstack([a, sp.eye(n, format="csc")[: n // 4]]).tocsc()
+        suite[f"ties_{i}"] = linear_programming_problem(
+            np.zeros(n),
+            np.full(n, 5.0),
+            np.round(rng.uniform(1, 4, n)),
+            0.0,
+            a,
+            np.concatenate(
+                [rng.uniform(0.5, 1.0, n // 2), np.full(n // 4, 0.5)]
+            ),
+            0,
+        )
     return suite
 
 

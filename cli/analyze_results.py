@@ -39,6 +39,17 @@ def main():
         "--curves", default=None,
         help="optional output CSV of fraction-solved vs KKT-pass budget",
     )
+    p.add_argument(
+        "--ladder", default=None,
+        help="optional output CSV of the improvements ladder (SGM10 KKT "
+        "per rung + ratio vs the previous rung; reference "
+        "analyze_csv_data.py:100-115)",
+    )
+    p.add_argument(
+        "--per_dataset", default=None,
+        help="optional output CSV of per-family solved counts and SGM10 "
+        "(reference per-dataset tables, analyze_csv_data.py:438-459)",
+    )
     args = p.parse_args()
 
     with open(args.csv_path) as f:
@@ -95,6 +106,81 @@ def main():
             cw = csv.writer(f)
             cw.writerow(["experiment_label", "kkt_budget", "fraction_solved"])
             cw.writerows(curve_rows)
+
+    if args.ladder:
+        write_ladder(by_label, args)
+
+    if args.per_dataset:
+        write_per_dataset(by_label, args)
+
+
+LADDER_ORDER = [
+    "pdhg_vanilla_1e-4",
+    "pdhg_restarts_1e-4",
+    "pdhg_scaling_1e-4",
+    "pdhg_primal_weight_1e-4",
+    "pdhg_stepsize_1e-4",
+    "pdlp_1e-4",
+]
+
+
+def _sgm_kkt(group, args):
+    kkt = []
+    solved = 0
+    for row in group:
+        if row["termination_reason"].endswith("OPTIMAL"):
+            solved += 1
+            kkt.append(
+                min(float(row["cumulative_kkt_matrix_passes"]),
+                    args.kkt_budget)
+            )
+        else:
+            kkt.append(args.kkt_budget)
+    return solved, shifted_geomean(kkt, args.shift)
+
+
+def write_ladder(by_label, args):
+    """Improvements ladder: each rung's SGM10 KKT passes and the ratio
+    vs the previous rung (reference IMPROVEMENTS_ORDER)."""
+    rows = []
+    prev = None
+    for label in LADDER_ORDER:
+        if label not in by_label:
+            continue
+        solved, sgm = _sgm_kkt(by_label[label], args)
+        ratio = (prev / sgm) if (prev and sgm > 0) else float("nan")
+        rows.append([label, len(by_label[label]), solved,
+                     round(sgm, 2), round(ratio, 3)])
+        prev = sgm
+    with open(args.ladder, "w", newline="") as f:
+        cw = csv.writer(f)
+        cw.writerow(["experiment_label", "instances", "solved",
+                     "sgm10_kkt_passes", "improvement_vs_previous"])
+        cw.writerows(rows)
+
+
+def _family(instance_name):
+    import re
+
+    return re.sub(r"_?\d+[a-z]*$", "", instance_name).rstrip("_") or (
+        instance_name
+    )
+
+
+def write_per_dataset(by_label, args):
+    rows = []
+    for label, group in sorted(by_label.items()):
+        fams = defaultdict(list)
+        for row in group:
+            fams[_family(row["instance_name"])].append(row)
+        for fam, g in sorted(fams.items()):
+            solved, sgm = _sgm_kkt(g, args)
+            rows.append([label, fam, len(g), solved, round(sgm, 2)])
+    with open(args.per_dataset, "w", newline="") as f:
+        cw = csv.writer(f)
+        cw.writerow(["experiment_label", "family", "instances", "solved",
+                     "sgm10_kkt_passes"])
+        cw.writerows(rows)
 
 
 if __name__ == "__main__":

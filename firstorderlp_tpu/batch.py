@@ -695,7 +695,42 @@ def solve_batch_shared_pattern(
         ),
     )
 
-    start_time = time.time()
+    # Fleet checkpoint/resume: the batched state is ONE pytree, so the
+    # preemptible-fleet story reuses the same atomic .npz path as the
+    # single-instance solver. On resume, lanes that had already
+    # terminated are re-reported by the first evaluation through the
+    # already_terminated idempotence guard (their reason and KKT
+    # counters are frozen in the state).
+    fleet_fp = None
+    if params.checkpoint_path or params.resume_from_checkpoint:
+        from .checkpoint import problem_fingerprint
+
+        import hashlib
+
+        h = hashlib.sha256()
+        for p in problems:
+            h.update(problem_fingerprint(p).encode())
+        fleet_fp = "fleet:" + h.hexdigest()
+    elapsed_offset = 0.0
+    if params.resume_from_checkpoint:
+        from .checkpoint import load_state
+
+        batched_state, elapsed_offset, _ = load_state(
+            params.resume_from_checkpoint,
+            batched_state,
+            fingerprint=fleet_fp,
+        )
+        # The previous run's termination (e.g. its iteration limit) does
+        # not apply to this run's criteria; re-evaluate from scratch.
+        batched_state = dataclasses.replace(
+            batched_state,
+            termination_reason=jnp.zeros_like(
+                batched_state.termination_reason
+            ),
+        )
+
+    start_time = time.time() - elapsed_offset
+    dispatch_count = 0
     final_results = [None] * num_instances
     lane_time = [0.0] * num_instances
     while True:
@@ -712,6 +747,20 @@ def solve_batch_shared_pattern(
         # backend), and there are ~45 leaves x B lanes.
         host_result = jax.device_get(result)
         dispatch_elapsed = time.time() - start_time
+        dispatch_count += 1
+        if params.checkpoint_path and (
+            dispatch_count % max(1, params.checkpoint_every_n_dispatches)
+            == 0
+        ):
+            from .checkpoint import save_state
+
+            save_state(
+                params.checkpoint_path,
+                batched_state,
+                elapsed_time=dispatch_elapsed,
+                metadata={"dispatches": dispatch_count},
+                fingerprint=fleet_fp,
+            )
         reasons = np.asarray(host_result.termination_reason)
         for i in range(num_instances):
             if final_results[i] is None and reasons[i] != 0:

@@ -220,6 +220,11 @@ def _is_eval_iteration(iteration, config: _MpConfig):
 def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
                 config: _MpConfig):
     criteria = config.criteria.to_criteria()
+    # Idempotence under batching (same guard as pdhg._eval_block): a lane
+    # that terminated in a previous segment must not accumulate KKT
+    # passes or flip its termination reason.
+    entry_state = state
+    already_terminated = state.termination_reason != 0
     kkt = state.cumulative_kkt_passes + KKT_PASSES_PER_TERMINATION_EVALUATION
 
     has_avg = (
@@ -316,20 +321,25 @@ def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
         avg_primal_out=avg_primal,
         avg_dual_out=avg_dual,
     )
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(already_terminated, a, b),
+        entry_state,
+        new_state,
+    )
     result = EvalResult(
         conv=conv,
         infeas=infeas,
         lagrangian_value=lagrangian,
         estimated_lower_bound=est_lb,
         estimated_upper_bound=est_ub,
-        termination_reason=reason,
+        termination_reason=new_state.termination_reason,
         restart_used=jnp.where(
-            terminated,
+            terminated | already_terminated,
             jnp.int32(RestartChoice.RESTART_CHOICE_UNSPECIFIED),
             restart.restart_choice,
         ),
         iteration=state.iteration - 1,
-        cumulative_kkt_passes=kkt,
+        cumulative_kkt_passes=new_state.cumulative_kkt_passes,
         step_size=state.step_size,
         primal_weight=state.primal_weight,
     )
@@ -557,7 +567,7 @@ def optimize(
                     f"Terminated after {eval_iteration + 1} iterations: "
                     f"{termination_reason_to_string(reason)}"
                 )
-            return unscaled_saddle_point_output(
+            output = unscaled_saddle_point_output(
                 scaled_problem,
                 np.asarray(state.avg_primal_out),
                 np.asarray(state.avg_dual_out),
@@ -565,6 +575,33 @@ def optimize(
                 int(state.iterations_completed),
                 iteration_stats,
             )
+            if params.verbosity >= 6:
+                # reference mirror_prox.jl:453-470 prints these per
+                # display; here once at termination (per-display would
+                # cost a host fetch every evaluation).
+                s = active_variable_stats(
+                    scaled_problem.original_qp,
+                    output.primal_solution,
+                    output.dual_solution,
+                )
+                nnz = scaled_problem.original_qp.constraint_matrix.nnz
+                print(
+                    f"    primal vars [@lb: {s[0]} active: {s[1]} "
+                    f"@ub: {s[2]}] dual ineq vars [@lb: {s[3]} "
+                    f"active: {s[4]}] active mat nz: "
+                    f"{100.0 * s[5] / max(nnz, 1):6.3f}%"
+                )
+            if params.verbosity >= 7:
+                from ..problem import (
+                    print_variable_and_constraint_hardness,
+                )
+
+                print_variable_and_constraint_hardness(
+                    scaled_problem.original_qp,
+                    output.primal_solution,
+                    output.dual_solution,
+                )
+            return output
 
 
 def active_variable_stats(problem, primal, dual):

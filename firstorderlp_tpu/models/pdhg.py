@@ -995,7 +995,7 @@ def optimize(
                     f"Terminated after {eval_iteration + 1} iterations: "
                     f"{termination_reason_to_string(reason)}"
                 )
-            return unscaled_saddle_point_output(
+            output = unscaled_saddle_point_output(
                 scaled_problem,
                 np.asarray(state.avg_primal_out),
                 np.asarray(state.avg_dual_out),
@@ -1003,3 +1003,15 @@ def optimize(
                 eval_iteration,
                 iteration_stats,
             )
+            if params.verbosity >= 7:
+                # generic_final_log (reference saddle_point.jl:1004-1012)
+                from ..problem import (
+                    print_variable_and_constraint_hardness,
+                )
+
+                print_variable_and_constraint_hardness(
+                    scaled_problem.original_qp,
+                    output.primal_solution,
+                    output.dual_solution,
+                )
+            return output

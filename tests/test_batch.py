@@ -215,3 +215,40 @@ def test_fast_fleet_ingest_matches_slow_path():
             )
             < 1e-9
         )
+
+
+def test_fleet_checkpoint_resume(tmp_path):
+    """A preempted shared-pattern fleet resumes from its .npz checkpoint
+    and finishes with the same solutions as an uninterrupted run."""
+    import dataclasses
+
+    from firstorderlp_tpu.batch import solve_batch_shared_pattern
+    from firstorderlp_tpu.generators import generate_pagerank_lp_fleet
+
+    fleet = generate_pagerank_lp_fleet(150, [0.85, 0.95], seed=5)
+    path = str(tmp_path / "fleet.npz")
+    base = pdhg_params(
+        optimality_criteria(1e-7), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    )
+    base.matrix_format = "ell"
+
+    full = solve_batch_shared_pattern(base, fleet)
+
+    # phase 1: few iterations, checkpointing every dispatch
+    p1 = dataclasses.replace(
+        base,
+        termination_criteria=dataclasses.replace(
+            base.termination_criteria, iteration_limit=80
+        ),
+        checkpoint_path=path,
+    )
+    solve_batch_shared_pattern(p1, fleet)
+    # phase 2: resume to optimality
+    p2 = dataclasses.replace(base, resume_from_checkpoint=path)
+    resumed = solve_batch_shared_pattern(p2, fleet)
+    for a, b in zip(resumed, full):
+        assert a.termination_reason == b.termination_reason
+        np.testing.assert_allclose(
+            a.primal_solution, b.primal_solution, atol=1e-5
+        )

@@ -317,3 +317,75 @@ def test_split_precision_fp32_hot_loop_f64_stats():
     assert conv.relative_l2_primal_residual < 1e-6
     assert conv.relative_l2_dual_residual < 1e-6
     np.testing.assert_allclose(out.primal_solution.sum(), 1.0, atol=1e-5)
+
+
+def test_numerical_error_termination():
+    """With zero tolerances the cc LP converges exactly and movement
+    hits 0 -> TERMINATION_REASON_NUMERICAL_ERROR (reference
+    test_primal_dual_hybrid_gradient.jl:391-412)."""
+    from fixtures import example_cc_lp
+
+    output = optimize(
+        pdhg_params(terminate_on_iteration_limit(150)), example_cc_lp()
+    )
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_NUMERICAL_ERROR
+    ), output.termination_string
+    np.testing.assert_allclose(
+        output.primal_solution, [1.0, 1.0, 0.0, 1.0, 0.0, 0.0],
+        atol=1e-12,
+    )
+    final = output.iteration_stats[-1]
+    assert abs(
+        final.convergence_information[0].dual_objective - 1.0
+    ) < 1e-12
+    assert np.all(output.dual_solution[:3] >= 0.0)
+    assert output.dual_solution[0] + output.dual_solution[1] >= 1.0 - 1e-12
+
+
+def test_l_inf_optimality_norm_end_to_end():
+    """Full solve under OptimalityNorm.L_INF (no end-to-end L_INF test
+    existed; criteria semantics reference termination.jl:33-45)."""
+    import dataclasses as _dc
+
+    from firstorderlp_tpu.termination import OptimalityNorm
+
+    criteria = _dc.replace(
+        optimality_criteria(1e-8), optimality_norm=OptimalityNorm.L_INF
+    )
+    output = optimize(
+        pdhg_params(criteria, ruiz_iterations=10), example_lp()
+    )
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        output.primal_solution, [1.0, 0.0, 6.0, 2.0], atol=1e-6
+    )
+    ci = output.iteration_stats[-1].convergence_information[0]
+    assert ci.l_inf_primal_residual <= 1e-8 * (
+        1.0 + 12.0
+    )  # eps_abs + eps_rel * ||b||_inf
+
+
+def test_dependent_rows_solve():
+    """LP with linearly dependent rows solves to its optimum (fixture
+    was defined but never exercised; reference
+    shared_test_qp_problems.jl:176-206)."""
+    from fixtures import example_lp_dependent_rows
+
+    output = optimize(
+        pdhg_params(optimality_criteria(1e-8), ruiz_iterations=10),
+        example_lp_dependent_rows(),
+    )
+    assert (
+        output.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    assert abs(
+        output.iteration_stats[-1].convergence_information[0]
+        .primal_objective
+        - 3.0
+    ) < 1e-6
