@@ -109,21 +109,52 @@ def _place_linop(op, mesh: Mesh, row_spec: P, col_spec: P):
         # ELL planes: shard the row dimension of each orientation; the
         # gathered operand (x for fwd, y for bwd) is all-gathered by
         # GSPMD and the per-bucket outputs stay sharded by rows.
+        #
+        # Ragged buckets (row counts that don't divide the mesh axis -
+        # the common case for real matrices) are PADDED to the next
+        # multiple with zero rows so every bucket shards: padded rows
+        # produce concat entries that inv_perm never references, and
+        # inv_perm is remapped for the shifted bucket offsets. Without
+        # this, most of A silently degraded to per-chip replication.
         def place_half(half: EllHalf, axis):
             axis_size = mesh.shape.get(axis, 1) if axis else 1
+            old_sizes = [int(b.cols.shape[0]) for b in half.buckets]
+            new_sizes = [
+                _round_up(s, axis_size) if axis else s for s in old_sizes
+            ]
+            old_offsets = np.concatenate(
+                [[0], np.cumsum(old_sizes)]
+            ).astype(np.int64)
+            new_offsets = np.concatenate(
+                [[0], np.cumsum(new_sizes)]
+            ).astype(np.int64)
+            shifts = new_offsets[:-1] - old_offsets[:-1]
 
-            def bucket_spec(b):
-                # Buckets whose row count doesn't divide the mesh axis
-                # (e.g. a single dense row in its own width bucket) are
-                # replicated; GSPMD still shards the gather/reduce around
-                # them.
-                rows = b.cols.shape[0]
-                if axis and rows % axis_size == 0:
-                    return P(axis, None)
-                return P(None, None)
+            inv = np.asarray(half.inv_perm).astype(np.int64)
+            bucket_of = (
+                np.searchsorted(old_offsets[1:], inv, side="right")
+            )
+            new_inv = (inv + shifts[bucket_of]).astype(np.int32)
+
+            def pad_bucket(b, old, new):
+                if old == new:
+                    return b
+                pad = ((0, new - old), (0, 0))
+                return EllBucket(
+                    cols=np.pad(np.asarray(b.cols), pad),
+                    vals=np.pad(np.asarray(b.vals), pad),
+                )
+
+            padded = [
+                pad_bucket(b, o, s)
+                for b, o, s in zip(half.buckets, old_sizes, new_sizes)
+            ]
+
+            def bucket_spec():
+                return P(axis, None) if axis else P(None, None)
 
             def perm_spec():
-                size = half.inv_perm.shape[0]
+                size = len(inv)
                 if axis and size % axis_size == 0:
                     return P(axis)
                 return P()
@@ -131,12 +162,12 @@ def _place_linop(op, mesh: Mesh, row_spec: P, col_spec: P):
             return EllHalf(
                 buckets=tuple(
                     EllBucket(
-                        cols=_put(b.cols, mesh, bucket_spec(b)),
-                        vals=_put(b.vals, mesh, bucket_spec(b)),
+                        cols=_put(b.cols, mesh, bucket_spec()),
+                        vals=_put(b.vals, mesh, bucket_spec()),
                     )
-                    for b in half.buckets
+                    for b in padded
                 ),
-                inv_perm=_put(half.inv_perm, mesh, perm_spec()),
+                inv_perm=_put(new_inv, mesh, perm_spec()),
             )
 
         row_axis = row_spec[0] if len(row_spec) else None
@@ -212,6 +243,15 @@ def sharded_optimize(
     col_multiple = mesh.shape.get("primal", 1)
     padded, m, n = pad_problem(problem, row_multiple, col_multiple)
     placement = make_placement(mesh)
+    # The routed Pallas layout has no sharding story yet; sharded solves
+    # run on the GSPMD-partitionable ELL/dense layouts (pre-empt auto's
+    # routed pick for big f32 matrices on TPU).
+    if params.matrix_format == "routed" or (
+        params.matrix_format == "auto"
+        and params.dtype == "float32"
+        and padded.constraint_matrix.nnz >= 50_000
+    ):
+        params = dataclasses.replace(params, matrix_format="ell")
     if isinstance(params, _pdhg.PdhgParameters):
         output = _pdhg.optimize(params, padded, _placement=placement)
     elif isinstance(params, _mp.MirrorProxParameters):

@@ -72,3 +72,51 @@ def test_sharded_pagerank_lp():
     # PageRank vector: nonnegative, sums to one.
     assert out.primal_solution.sum() == pytest.approx(1.0, abs=1e-4)
     assert out.primal_solution.min() >= -1e-8
+
+
+def test_ragged_buckets_shard_not_replicate():
+    """Every ELL bucket must actually shard over the mesh (ragged row
+    counts are padded to mesh multiples); round 1 silently replicated
+    any bucket whose rows didn't divide the axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from firstorderlp_tpu.models.pdhg import prepare_problem
+    from firstorderlp_tpu.parallel.mesh import solver_mesh
+    from firstorderlp_tpu.parallel.sharded import (
+        make_placement,
+        pad_problem,
+    )
+
+    problem = generate_pagerank_lp(num_nodes=301, seed=2)
+    mesh = solver_mesh(4, 2)
+    padded, _, _ = pad_problem(problem, 4, 2)
+    params = pdhg_params(optimality_criteria(1e-4), ruiz_iterations=10)
+    params.matrix_format = "ell"
+    prepared = prepare_problem(params, padded)
+    bundle, state = make_placement(mesh)(
+        prepared.bundle, prepared.initial_state
+    )
+    op = bundle.scaled.constraint_matrix
+    for half, axis in ((op.fwd, "dual"), (op.bwd, "primal")):
+        for b in half.buckets:
+            spec = b.vals.sharding.spec
+            assert spec[0] == axis, (axis, spec, b.vals.shape)
+            assert b.vals.shape[0] % mesh.shape[axis] == 0
+
+
+def test_distributed_single_process_entry():
+    """The multi-host entry point degrades gracefully to a single
+    process: initialize() is a no-op and the global mesh covers the
+    local (virtual) devices."""
+    from firstorderlp_tpu.parallel import distributed as D
+
+    D.initialize()
+    mesh = D.global_solver_mesh(n_dual=4, n_primal=2)
+    assert dict(mesh.shape) == {"dual": 4, "primal": 2}
+    problem = generate_pagerank_lp(num_nodes=150, seed=0)
+    params = pdhg_params(optimality_criteria(1e-6), ruiz_iterations=10)
+    out = D.distributed_optimize(params, problem, n_dual=4, n_primal=2)
+    single = optimize(params, problem)
+    np.testing.assert_allclose(
+        out.primal_solution, single.primal_solution, atol=1e-7
+    )
