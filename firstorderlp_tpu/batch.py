@@ -807,6 +807,122 @@ def solve_batch_shared_pattern(
     return outputs
 
 
+def _align_ell_ops(ops):
+    """Aligns a list of host-side SparseOps (different sparsity patterns,
+    same matrix shape) to COMMON plane shapes so they stack along a
+    leading batch axis for vmap.
+
+    Per orientation: the bucket-width set becomes the union across
+    instances and each bucket's row count is padded (zero rows) to the
+    per-width maximum; inv_perm is remapped for the shifted bucket
+    offsets (padded slots are never referenced). This keeps mixed-size /
+    mixed-pattern fleets in ELL form - round 1 densified them to
+    B x max_m x max_n, unusable beyond toy sizes."""
+    from .ops.linops import EllBucket, EllHalf, SparseOp
+
+    def align_halves(halves):
+        widths = sorted(
+            {int(b.cols.shape[1]) for h in halves for b in h.buckets}
+        )
+        max_rows = {
+            w: max(
+                next(
+                    (
+                        int(b.cols.shape[0])
+                        for b in h.buckets
+                        if b.cols.shape[1] == w
+                    ),
+                    0,
+                )
+                for h in halves
+            )
+            for w in widths
+        }
+        new_offsets = np.concatenate(
+            [[0], np.cumsum([max_rows[w] for w in widths])]
+        ).astype(np.int64)
+
+        aligned = []
+        for h in halves:
+            own = {int(b.cols.shape[1]): b for b in h.buckets}
+            old_sizes = [
+                int(own[w].cols.shape[0]) if w in own else 0
+                for w in widths
+            ]
+            old_offsets = np.concatenate(
+                [[0], np.cumsum(old_sizes)]
+            ).astype(np.int64)
+            inv = np.asarray(h.inv_perm).astype(np.int64)
+            bucket_of = np.searchsorted(
+                old_offsets[1:], inv, side="right"
+            )
+            new_inv = (
+                inv - old_offsets[bucket_of] + new_offsets[bucket_of]
+            ).astype(np.int32)
+
+            buckets = []
+            for w in widths:
+                rows = max_rows[w]
+                if w in own:
+                    b = own[w]
+                    pad = ((0, rows - int(b.cols.shape[0])), (0, 0))
+                    buckets.append(
+                        EllBucket(
+                            cols=np.pad(np.asarray(b.cols), pad),
+                            vals=np.pad(np.asarray(b.vals), pad),
+                        )
+                    )
+                else:
+                    dtype = np.asarray(h.buckets[0].vals).dtype
+                    buckets.append(
+                        EllBucket(
+                            cols=np.zeros((rows, w), np.int32),
+                            vals=np.zeros((rows, w), dtype),
+                        )
+                    )
+            aligned.append(
+                EllHalf(buckets=tuple(buckets), inv_perm=new_inv)
+            )
+        return aligned
+
+    fwd = align_halves([op.fwd for op in ops])
+    bwd = align_halves([op.bwd for op in ops])
+    return [
+        SparseOp(
+            fwd=f,
+            bwd=b,
+            num_rows=op.num_rows,
+            num_cols=op.num_cols,
+        )
+        for f, b, op in zip(fwd, bwd, ops)
+    ]
+
+
+def _align_bundle_ops(bundles):
+    """Returns bundles whose constraint (and objective) operators have
+    aligned plane shapes (see _align_ell_ops)."""
+    from .ops.linops import SparseOp
+
+    out = list(bundles)
+
+    def set_scaled(i, field, op):
+        out[i] = dataclasses.replace(
+            out[i],
+            **{
+                field: dataclasses.replace(
+                    getattr(out[i], field), constraint_matrix=op
+                )
+            },
+        )
+
+    for field in ("scaled", "original"):
+        ops = [getattr(b, field).constraint_matrix for b in out]
+        if all(isinstance(op, SparseOp) for op in ops):
+            for i, op in enumerate(_align_ell_ops(ops)):
+                set_scaled(i, field, op)
+    return out
+
+
 def solve_batch(
     params: _pdhg.PdhgParameters,
     problems: Sequence[QuadraticProgrammingProblem],
@@ -814,8 +930,10 @@ def solve_batch(
     """Solves a fleet of instances concurrently with vmapped PDHG.
 
     Shapes are unified by zero padding (exact no-op for the iterates, see
-    parallel.sharded.pad_problem). Only final iteration stats are recorded
-    per instance.
+    parallel.sharded.pad_problem); heterogeneous sparsity patterns are
+    kept in ELL form with plane shapes aligned across the fleet
+    (_align_ell_ops) - instances are NOT densified. Only final iteration
+    stats are recorded per instance.
     """
     if len(problems) == 0:
         return []
@@ -844,7 +962,10 @@ def solve_batch(
             0,
             padded,
         )
-        bundle = to_device_scaled(scaled, dtype, format="dense")
+        fmt = "dense" if params.matrix_format == "dense" else "ell"
+        bundle = to_device_scaled(
+            scaled, dtype, format=fmt, convert=np.asarray
+        )
         state = _pdhg._initial_state(bundle, dtype)
 
         kkt0 = 0.0
@@ -881,10 +1002,13 @@ def solve_batch(
         scaled_problems.append(scaled)
         dims.append((m, n))
 
+    bundles = _align_bundle_ops(bundles)
     batched_bundle = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *bundles
+        lambda *xs: jnp.stack([np.asarray(x) for x in xs]), *bundles
     )
-    batched_state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    batched_state = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *states
+    )
 
     config = _pdhg._PdhgConfig(
         criteria=HashableCriteria.from_criteria(params.termination_criteria),

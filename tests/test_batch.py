@@ -252,3 +252,27 @@ def test_fleet_checkpoint_resume(tmp_path):
         np.testing.assert_allclose(
             a.primal_solution, b.primal_solution, atol=1e-5
         )
+
+
+def test_heterogeneous_fleet_stays_sparse():
+    """Mixed-size mixed-pattern fleets keep the ELL layout (aligned
+    plane shapes), matching individual solves - round 1 densified to
+    B x max_m x max_n."""
+    from firstorderlp_tpu.generators import generate_pagerank_lp
+
+    rng = np.random.default_rng(0)
+    problems = []
+    for i, nodes in enumerate((120, 190, 260, 150, 220, 300)):
+        problems.append(generate_pagerank_lp(nodes, seed=10 + i))
+    params = pdhg_params(
+        optimality_criteria(1e-6), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    )
+    outputs = solve_batch(params, problems)
+    assert len(outputs) == len(problems)
+    for problem, out in zip(problems, outputs):
+        single = optimize(params, problem)
+        assert out.termination_reason == single.termination_reason
+        np.testing.assert_allclose(
+            out.primal_solution, single.primal_solution, atol=1e-5
+        )
