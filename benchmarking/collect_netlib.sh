@@ -3,18 +3,29 @@
 # .mps.gz into $1. Reference: benchmarking/collect_netlib_benchmark.sh.
 set -euo pipefail
 DEST="${1:?usage: collect_netlib.sh DEST_DIR}"
+TMP="$(mktemp -d)"
 mkdir -p "$DEST"
 BASE="https://www.netlib.org/lp/data"
 if ! curl -fsI --max-time 10 "$BASE/" >/dev/null 2>&1; then
   echo "ERROR: no network egress; place .mps(.gz) files in $DEST manually." >&2
   exit 2
 fi
-# Netlib ships emps-compressed files; fetch the standard set and the
-# Kennington directory, then expand with the netlib emps tool.
-curl -fsSL "$BASE/" | grep -oE 'href="[a-z0-9]+"' | cut -d'"' -f2 | while read -r name; do
-  curl -fsSL "$BASE/$name" -o "$DEST/$name.emps" || true
-done
-curl -fsSL "$BASE/kennington/" | grep -oE 'href="[a-z0-9]+\.gz"' | cut -d'"' -f2 | while read -r name; do
-  curl -fsSL "$BASE/kennington/$name" -o "$DEST/$name" || true
-done
-echo "NOTE: .emps files need netlib's emps decompressor to become MPS." >&2
+# Netlib ships "compressed MPS"; build netlib's own emps expander
+# (exactly as the reference does: fetch emps.c, cc -O3).
+curl -fsSL "$BASE/emps.c" -o "$TMP/emps.c"
+cc -O3 -o "$TMP/emps" "$TMP/emps.c"
+while read -r name; do
+  curl -fsSL "$BASE/$name" -o "$TMP/$name.emps" || continue
+  "$TMP/emps" < "$TMP/$name.emps" > "$DEST/$name.mps" 2>/dev/null \
+    || { echo "emps failed for $name" >&2; continue; }
+  gzip -f "$DEST/$name.mps"
+done < <(grep -v "^#" "$(dirname "$0")/netlib_instance_list")
+# Kennington instances arrive emps-compressed then gzipped.
+while read -r name; do
+  curl -fsSL "$BASE/kennington/$name.gz" -o "$TMP/$name.gz" || continue
+  gunzip -f "$TMP/$name.gz"
+  "$TMP/emps" < "$TMP/$name" > "$DEST/$name.mps" 2>/dev/null || continue
+  gzip -f "$DEST/$name.mps"
+done < <(grep -v "^#" "$(dirname "$0")/kennington_instance_list")
+rm -rf "$TMP"
+echo "collected $(ls "$DEST" | wc -l) instances into $DEST"
