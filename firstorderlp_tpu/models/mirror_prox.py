@@ -87,6 +87,10 @@ class MirrorProxParameters:
     matrix_format: str = "auto"
     # Precision of termination/stats evaluation (None = same as dtype).
     stats_dtype: Optional[str] = None
+    # Checkpoint/resume (same contract as PdhgParameters).
+    checkpoint_path: Optional[str] = None
+    checkpoint_every_n_dispatches: int = 1
+    resume_from_checkpoint: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -514,19 +518,54 @@ def optimize(
 
     display_iteration_stats_heading(params.verbosity)
 
+    problem_fp = None
+    if params.checkpoint_path or params.resume_from_checkpoint:
+        from ..checkpoint import problem_fingerprint
+
+        problem_fp = problem_fingerprint(original_problem)
+    elapsed_offset = 0.0
+    if params.resume_from_checkpoint:
+        from ..checkpoint import load_state
+
+        state, elapsed_offset, _ = load_state(
+            params.resume_from_checkpoint, state, fingerprint=problem_fp
+        )
+        state = dataclasses.replace(
+            state, termination_reason=jnp.int32(0)
+        )
+
     iteration_stats = []
-    start_time = time.time()
+    start_time = time.time() - elapsed_offset
     basic_algorithm_time = 0.0
+    dispatch_count = 0
     while True:
         elapsed = time.time() - start_time
         segment_start = time.time()
         state, result = _run_segment(
             bundle, state, jnp.asarray(elapsed, jnp.float64), config
         )
+        # ONE transfer for the whole result pytree (per-leaf fetches
+        # cost ~25 ms RTT each on tunneled backends).
+        result = jax.device_get(result)
         reason_code = int(result.termination_reason)
         terminated = reason_code != 0
         eval_iteration = int(result.iteration)
         basic_algorithm_time += time.time() - segment_start
+        dispatch_count += 1
+        if params.checkpoint_path and (
+            dispatch_count % max(1, params.checkpoint_every_n_dispatches)
+            == 0
+            or terminated
+        ):
+            from ..checkpoint import save_state
+
+            save_state(
+                params.checkpoint_path,
+                state,
+                elapsed_time=time.time() - start_time,
+                metadata={"iteration": eval_iteration + 1},
+                fingerprint=problem_fp,
+            )
 
         method_specific_stats = {
             "time_spent_doing_basic_algorithm": basic_algorithm_time,

@@ -138,3 +138,32 @@ def test_dual_infeasible():
         output.termination_reason
         == TerminationReason.TERMINATION_REASON_DUAL_INFEASIBLE
     )
+
+
+def test_mirror_prox_checkpoint_resume(tmp_path):
+    """MP resume solves to the same optimum (checkpointing was
+    PDHG-only in round 1). Trajectories are not bit-identical because
+    resuming inserts an evaluation (and restart opportunity) at the
+    resume iteration; convergence is what the contract guarantees."""
+    import dataclasses
+
+    from fixtures import example_lp
+
+    problem = example_lp()
+    path = str(tmp_path / "mp.npz")
+    base = mp_params(optimality_criteria(1e-9))
+    full = optimize(base, problem)
+
+    p1 = dataclasses.replace(
+        base,
+        termination_criteria=terminate_on_iteration_limit(30),
+        checkpoint_path=path,
+    )
+    optimize(p1, problem)
+    p2 = dataclasses.replace(base, resume_from_checkpoint=path)
+    resumed = optimize(p2, problem)
+    assert resumed.termination_reason == full.termination_reason
+    np.testing.assert_allclose(
+        resumed.primal_solution, full.primal_solution, atol=1e-6
+    )
+    assert resumed.iteration_count <= full.iteration_count
