@@ -160,11 +160,15 @@ def write_ladder(by_label, args):
 
 
 def _family(instance_name):
+    """Strips trailing size/seed qualifiers: transport_small ->
+    transport, random_sparse_1 -> random_sparse, pagerank_2k ->
+    pagerank."""
     import re
 
-    return re.sub(r"_?\d+[a-z]*$", "", instance_name).rstrip("_") or (
-        instance_name
+    out = re.sub(
+        r"_(?:small|mid|large|wide|tall|\d+[a-z]*)$", "", instance_name
     )
+    return out or instance_name
 
 
 def write_per_dataset(by_label, args):

@@ -281,3 +281,46 @@ def test_solve_lp_external_dual_signs(tmp_path):
     assert kkt > 0
     dual = np.loadtxt(out_dir / "binding_lp_dual.txt")
     np.testing.assert_allclose(dual, [0.5, 4.0, 0.0], atol=1e-7)
+
+
+def test_analyze_results_ladder_and_per_dataset(tmp_path):
+    """analyze_results emits the improvements-ladder and per-family
+    tables (reference analyze_csv_data.py:100-115, 438-459)."""
+    rows = []
+    for label, kkt in (
+        ("pdhg_vanilla_1e-4", 8000.0),
+        ("pdlp_1e-4", 500.0),
+    ):
+        for inst in ("transport_small", "transport_large", "pagerank_2k"):
+            rows.append(
+                {
+                    "experiment_label": label,
+                    "instance_name": inst,
+                    "termination_reason": "TERMINATION_REASON_OPTIMAL",
+                    "cumulative_kkt_matrix_passes": str(kkt),
+                    "solve_time_sec": "1.0",
+                }
+            )
+    csv_path = tmp_path / "r.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    ladder = tmp_path / "ladder.csv"
+    per_ds = tmp_path / "per.csv"
+    run(
+        [
+            sys.executable, "cli/analyze_results.py", str(csv_path),
+            "--ladder", str(ladder), "--per_dataset", str(per_ds),
+        ]
+    )
+    with open(ladder) as f:
+        lrows = list(csv.DictReader(f))
+    assert [r["experiment_label"] for r in lrows] == [
+        "pdhg_vanilla_1e-4", "pdlp_1e-4",
+    ]
+    assert float(lrows[1]["improvement_vs_previous"]) > 10
+    with open(per_ds) as f:
+        drows = list(csv.DictReader(f))
+    fams = {r["family"] for r in drows}
+    assert fams == {"transport", "pagerank"}
