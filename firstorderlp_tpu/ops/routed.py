@@ -315,7 +315,7 @@ def _pick_pow2(value, lo, hi):
 
 def build_routed_op(
     matrix: sp.spmatrix,
-    group_rows: int = 16,
+    group_rows: int = 32,
     b2: "int | None" = None,
     hr: "int | None" = None,
     share_plan_with: "RoutedOp | None" = None,
@@ -354,7 +354,9 @@ def build_routed_op(
         # tile padding <= ~5% of nnz: 64 * ntiles <= 0.05 nnz
         # => strip ~ sqrt(64 * m * n / (0.05 * nnz))
         target = np.sqrt(64.0 * m * n / (0.05 * max(nnz, 1))) / 128.0
-        pick = _pick_pow2(target, 1, 128)
+        # measured sweep (docs/performance.md): 32-wide strips win from
+        # 20k to 100k nodes; smaller strips only for genuinely small n/m.
+        pick = max(_pick_pow2(target, 1, 128), 32)
         if b2 is None:
             b2 = min(pick, _pick_pow2(n / 128.0, 1, 128))
         if hr is None:
