@@ -130,9 +130,22 @@ def parse_command_line():
         "mode.",
     )
     p.add_argument(
-        "--matrix_format", default="auto", choices=["auto", "dense", "ell"]
+        "--matrix_format",
+        default="auto",
+        choices=["auto", "dense", "ell", "routed"],
     )
     p.add_argument("--evaluations_per_dispatch", type=int, default=1)
+    p.add_argument(
+        "--two_phase_refinement",
+        type=str2bool,
+        default=False,
+        help="PDHG only: f32 routed hot loop to --refinement_switch_tol, "
+        "then a warm-started f64 tail to the requested tolerances "
+        "(reaches 1e-8 relative KKT error on TPU; refine.py).",
+    )
+    p.add_argument(
+        "--refinement_switch_tol", type=float, default=1e-6
+    )
     return p.parse_args()
 
 
@@ -223,7 +236,7 @@ def build_parameters(args):
             args.adaptive_step_size_reduction_exponent,
             args.adaptive_step_size_growth_exponent,
         )
-    return folp.PdhgParameters(
+    params = folp.PdhgParameters(
         l_inf_ruiz_iterations=args.l_inf_ruiz_iterations,
         l2_norm_rescaling=args.l2_norm_rescaling,
         pock_chambolle_alpha=pock_chambolle_alpha,
@@ -244,6 +257,9 @@ def build_parameters(args):
         matrix_format=args.matrix_format,
         evaluations_per_dispatch=args.evaluations_per_dispatch,
     )
+    if args.two_phase_refinement:
+        params._two_phase = args.refinement_switch_tol
+    return params
 
 
 def solve_instance_and_output(
@@ -285,7 +301,14 @@ def solve_instance_and_output(
         if parameters.verbosity >= 1:
             print(f"Instance: {instance_name}")
         t0 = time.time()
-        output = folp.optimize(parameters, lp)
+        if getattr(parameters, "_two_phase", None):
+            from firstorderlp_tpu.refine import optimize_split_precision
+
+            output = optimize_split_precision(
+                parameters, lp, switch_tolerance=parameters._two_phase
+            )
+        else:
+            output = folp.optimize(parameters, lp)
         running_time = time.time() - t0
         print(f"Elapsed time: {running_time} sec")
 
