@@ -71,13 +71,29 @@ def _expand_body(shift, rows, s_ref, xs_ref, loc_ref, g_ref):
     b_idx = loc & (b2 - 1)
     o_a = (
         lax.broadcasted_iota(jnp.int32, (128, k), 0) == a_idx
-    ).astype(jnp.float32)
-    c_t = lax.dot_general(
-        xw,
-        o_a,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HI,
+    ).astype(jnp.bfloat16)
+    # Exact 3-term bf16 split of the f32 window (hi+mid+lo covers all
+    # 24 mantissa bits); the one-hot side is exactly 0/1 in bf16, so
+    # three DEFAULT-precision passes reproduce HIGHEST's result at half
+    # the MXU cost (HIGHEST decomposes BOTH sides -> 6 passes).
+    xw_hi = xw.astype(jnp.bfloat16)
+    r1 = xw - xw_hi.astype(jnp.float32)
+    xw_mid = r1.astype(jnp.bfloat16)
+    xw_lo = (r1 - xw_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    c_t = (
+        lax.dot_general(
+            xw_hi, o_a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + lax.dot_general(
+            xw_mid, o_a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + lax.dot_general(
+            xw_lo, o_a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
     )  # (B2, k): c_t[b, kk] = xw[a_kk, b]
     b_mask = lax.broadcasted_iota(jnp.int32, (b2, k), 0) == b_idx
     g = jnp.sum(jnp.where(b_mask, c_t, 0.0), axis=0, keepdims=True)
