@@ -745,6 +745,7 @@ def prepare_problem(
     params: PdhgParameters,
     original_problem: QuadraticProgrammingProblem,
     warm_start=None,
+    _reuse=None,
 ) -> PreparedProblem:
     """Validates, rescales and transfers `original_problem` for
     `optimize` (reference: the rescaling step of optimize, pdhg.jl:
@@ -764,20 +765,40 @@ def prepare_problem(
             " programming problems."
         )
 
-    scaled_problem = rescale_problem(
-        params.l_inf_ruiz_iterations,
-        params.l2_norm_rescaling,
-        params.pock_chambolle_alpha,
-        params.verbosity,
-        original_problem,
-    )
+    # _reuse: a PreparedProblem for the SAME problem from a previous
+    # phase (see refine.py); its host ScaledQpProblem (rescaling is
+    # dtype-independent) and its f64 ORIGINAL device bundle are reused,
+    # so only the scaled bundle is rebuilt/transferred.
     dtype = jnp.dtype(params.dtype)
     stats_dtype = (
         jnp.dtype(params.stats_dtype) if params.stats_dtype else None
     )
-    bundle = to_device_scaled(
-        scaled_problem, dtype, params.matrix_format, stats_dtype=stats_dtype
-    )
+    if _reuse is not None and _reuse.bundle.original.objective_vector.dtype == (
+        stats_dtype or dtype
+    ):
+        from ..ops.device_problem import to_device
+
+        scaled_problem = _reuse.scaled_problem
+        bundle = dataclasses.replace(
+            _reuse.bundle,
+            scaled=to_device(
+                scaled_problem.scaled_qp, dtype, params.matrix_format
+            ),
+        )
+    else:
+        scaled_problem = rescale_problem(
+            params.l_inf_ruiz_iterations,
+            params.l2_norm_rescaling,
+            params.pock_chambolle_alpha,
+            params.verbosity,
+            original_problem,
+        )
+        bundle = to_device_scaled(
+            scaled_problem,
+            dtype,
+            params.matrix_format,
+            stats_dtype=stats_dtype,
+        )
 
     state = _initial_state(bundle, dtype)
     cumulative_kkt_passes = 0.0

@@ -60,9 +60,10 @@ def optimize_split_precision(
 
     `prepared` optionally skips phase-1 ingest (must come from
     prepare_problem on the phase-1 params, see phase1_params)."""
-    out1 = _pdhg.optimize(
-        phase1_params(params, switch_tolerance), problem, prepared=prepared
-    )
+    p1 = phase1_params(params, switch_tolerance)
+    if prepared is None:
+        prepared = _pdhg.prepare_problem(p1, problem)
+    out1 = _pdhg.optimize(p1, problem, prepared=prepared)
     crit = params.termination_criteria
     if out1.termination_reason not in _REFINABLE:
         return out1
@@ -83,8 +84,10 @@ def optimize_split_precision(
         ),
     )
     prep2 = _pdhg.prepare_problem(
-        p2, problem,
+        p2,
+        problem,
         warm_start=(out1.primal_solution, out1.dual_solution),
+        _reuse=prepared,
     )
     out2 = _pdhg.optimize(p2, problem, prepared=prep2)
 
