@@ -1018,8 +1018,8 @@ def optimize(
                 )
             output = unscaled_saddle_point_output(
                 scaled_problem,
-                np.asarray(state.avg_primal_out),
-                np.asarray(state.avg_dual_out),
+                state.avg_primal_out,
+                state.avg_dual_out,
                 reason,
                 eval_iteration,
                 iteration_stats,

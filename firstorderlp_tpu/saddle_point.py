@@ -46,6 +46,27 @@ class SaddlePointOutput:
     iteration_stats: List[IterationStats]
 
 
+
+
+def fetch_global(x) -> np.ndarray:
+    """np.asarray for possibly cross-process-sharded arrays.
+
+    Single-process (or fully-addressable) arrays fetch directly;
+    under multi-host runs the value is allgathered first
+    (jax.experimental.multihost_utils), since a host cannot read
+    shards living on other processes.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)
+        )
+    return np.asarray(x)
+
+
 def unscaled_saddle_point_output(
     scaled_problem,
     primal_solution,
@@ -55,10 +76,10 @@ def unscaled_saddle_point_output(
     iteration_stats: List[IterationStats],
 ) -> SaddlePointOutput:
     """Unscales the iterates (reference l.55-77)."""
-    original_primal = np.asarray(primal_solution) / np.asarray(
+    original_primal = fetch_global(primal_solution) / np.asarray(
         scaled_problem.variable_rescaling
     )
-    original_dual = np.asarray(dual_solution) / np.asarray(
+    original_dual = fetch_global(dual_solution) / np.asarray(
         scaled_problem.constraint_rescaling
     )
     return SaddlePointOutput(
