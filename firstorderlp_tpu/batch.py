@@ -962,7 +962,15 @@ def solve_batch(
             0,
             padded,
         )
-        fmt = "dense" if params.matrix_format == "dense" else "ell"
+        # QPs keep the dense layout: aligned-ELL stacking covers the
+        # constraint matrix only, and Q patterns differ across a mixed
+        # fleet.
+        is_qp = any(p.objective_matrix.nnz > 0 for p in problems)
+        fmt = (
+            "dense"
+            if (params.matrix_format == "dense" or is_qp)
+            else "ell"
+        )
         bundle = to_device_scaled(
             scaled, dtype, format=fmt, convert=np.asarray
         )
