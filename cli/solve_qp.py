@@ -262,6 +262,13 @@ def build_parameters(args):
     return params
 
 
+def _check_refinement_method(args):
+    if args.two_phase_refinement and args.method != "pdhg":
+        raise SystemExit(
+            "--two_phase_refinement is implemented for --method pdhg"
+        )
+
+
 def solve_instance_and_output(
     parameters,
     output_dir: str,
@@ -360,6 +367,7 @@ def solve_instance_and_output(
 
 def main():
     args = parse_command_line()
+    _check_refinement_method(args)
     parameters = build_parameters(args)
     solve_instance_and_output(
         parameters,

@@ -149,3 +149,38 @@ def test_solver_with_routed_format():
     np.testing.assert_allclose(
         out_r.primal_solution, out_e.primal_solution, atol=1e-4
     )
+
+
+def test_qp_objective_matrix_routed():
+    """A QP whose Q rides the routed layout solves like the ELL path."""
+    import dataclasses
+
+    from firstorderlp_tpu import QuadraticProgrammingProblem
+    from firstorderlp_tpu.models.pdhg import optimize
+    from utils import pdhg_params, terminate_on_iteration_limit
+
+    rng = np.random.default_rng(21)
+    n = 80
+    a = sp.random(n // 2, n, density=0.2, random_state=4, format="csc")
+    q = sp.eye(n, format="csc") * 0.5
+    prob = QuadraticProgrammingProblem(
+        variable_lower_bound=np.zeros(n),
+        variable_upper_bound=np.full(n, 10.0),
+        objective_matrix=q,
+        objective_vector=rng.uniform(-1, 1, n),
+        objective_constant=0.0,
+        constraint_matrix=a.tocsc(),
+        right_hand_side=rng.uniform(0.1, 0.5, n // 2),
+        num_equalities=0,
+    )
+    params = dataclasses.replace(
+        pdhg_params(terminate_on_iteration_limit(60), ruiz_iterations=10),
+        dtype="float32",
+        matrix_format="routed",
+    )
+    params_ell = dataclasses.replace(params, matrix_format="ell")
+    out_r = optimize(params, prob)
+    out_e = optimize(params_ell, prob)
+    np.testing.assert_allclose(
+        out_r.primal_solution, out_e.primal_solution, atol=1e-4
+    )
