@@ -295,6 +295,8 @@ def _take_step_adaptive(
     The KKT-pass and total_number_iterations accounting is identical to
     the reference's inner loop.
     """
+    from ..ops.routed import RoutedOp
+
     step_size = state.step_size
     total = state.total_number_iterations + 1
     next_x = _compute_next_primal(
@@ -304,17 +306,52 @@ def _take_step_adaptive(
         step_size,
         state.primal_weight,
     )
-    next_y, next_aty = _compute_next_dual(
-        problem,
-        state.current_primal_solution,
-        next_x,
-        state.current_dual_solution,
-        step_size,
-        state.primal_weight,
+    use_fused = (
+        isinstance(problem.constraint_matrix, RoutedOp)
+        and problem.objective_matrix is None
+        and state.current_primal_solution.dtype == jnp.float32
     )
-    interaction, movement = _interaction_and_movement(
-        problem, state, next_x, next_y, next_aty
-    )
+    if use_fused:
+        # Fused hot path: the dual step's projection and the
+        # interaction/movement reductions run inside the routed reduce
+        # kernels' strip epilogues, eliminating the per-iteration
+        # elementwise/reduction HLO launches (ops/routed.py). The
+        # padded b/is_equality strips are loop-invariant; XLA hoists
+        # them out of the steps while_loop.
+        op = problem.constraint_matrix
+        z = 2.0 * next_x - state.current_primal_solution
+        sigma = state.primal_weight * step_size
+        next_y, y_next_strips, dy2 = op.mv_dual_step(
+            z,
+            op.pad_dual_strips(state.current_dual_solution),
+            op.pad_dual_strips(problem.right_hand_side),
+            op.pad_dual_strips(
+                problem.is_equality.astype(jnp.float32)
+            ),
+            sigma,
+        )
+        dx = next_x - state.current_primal_solution
+        next_aty, pd_interaction, dx2 = op.rmv_stats(
+            y_next_strips,
+            op.pad_primal_strips(dx),
+            op.pad_primal_strips(state.current_dual_product),
+        )
+        interaction = jnp.abs(pd_interaction)
+        movement = 0.5 * state.primal_weight * dx2 + (
+            0.5 / state.primal_weight
+        ) * dy2
+    else:
+        next_y, next_aty = _compute_next_dual(
+            problem,
+            state.current_primal_solution,
+            next_x,
+            state.current_dual_solution,
+            step_size,
+            state.primal_weight,
+        )
+        interaction, movement = _interaction_and_movement(
+            problem, state, next_x, next_y, next_aty
+        )
     kkt = state.cumulative_kkt_passes + 1.0
     numerical_error = movement == 0.0
     step_size_limit = jnp.where(

@@ -189,6 +189,175 @@ def _make_reduce(ngroups, nstrips, hr, rows, shift16, interpret):
     )
 
 
+def _reduce_dual_body(
+    hr, rows, meta_ref, g_ref, v_ref, loc_ref, yin_ref, b_ref, eq_ref,
+    sig_ref, y_ref, part_ref
+):
+    """Reduce variant fusing the PDHG dual step: accumulates (A z) into
+    the strip, then at the strip's LAST group applies
+        y+ = proj(y + sigma (b - Az))   (proj: >=0 on inequality rows)
+    in place and emits sum((y+ - y)^2) for the movement term
+    (reference compute_next_dual_solution + compute_interaction_and_
+    movement, pdhg.jl:472-549). Removes the per-iteration elementwise/
+    reduction HLOs whose launch overhead dominated the non-matvec time.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[i, 1] == 1)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    k = rows * 128
+    p = (g_ref[...] * v_ref[...]).reshape(1, k)
+    loc = loc_ref[...].reshape(1, k) >> 16
+    hi = loc >> 7
+    lo = loc & 127
+    m = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
+    )
+    o_hi = (
+        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
+    ).astype(jnp.float32)
+    y_ref[0] = y_ref[0] + lax.dot_general(
+        o_hi,
+        m,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+    @pl.when(meta_ref[i, 2] == 1)
+    def _():
+        az = y_ref[0]
+        yin = yin_ref[0]
+        cand = yin + sig_ref[0, 0] * (b_ref[0] - az)
+        ynext = jnp.where(eq_ref[0] != 0, cand, jnp.maximum(cand, 0.0))
+        y_ref[0] = ynext
+        dy = ynext - yin
+        # Mosaic cannot store scalars to VMEM; write a masked block.
+        rid = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cid = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        part_ref[0] = jnp.where(
+            (rid == 0) & (cid == 0), jnp.sum(dy * dy), 0.0
+        )
+
+
+def _reduce_rmv_stats_body(
+    hr, rows, meta_ref, g_ref, v_ref, loc_ref, dx_ref, atyold_ref,
+    out_ref, part_ref
+):
+    """Reduce variant for A'y+ fusing the PDLP step-control reductions:
+    at the strip's last group emits sum(dx * (aty+ - aty_old)) (the
+    interaction term) and sum(dx^2) (primal movement)."""
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[i, 1] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    k = rows * 128
+    p = (g_ref[...] * v_ref[...]).reshape(1, k)
+    loc = loc_ref[...].reshape(1, k) & 0xFFFF
+    hi = loc >> 7
+    lo = loc & 127
+    m = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
+    )
+    o_hi = (
+        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
+    ).astype(jnp.float32)
+    out_ref[0] = out_ref[0] + lax.dot_general(
+        o_hi,
+        m,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+    @pl.when(meta_ref[i, 2] == 1)
+    def _():
+        aty = out_ref[0]
+        dx = dx_ref[0]
+        rid = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cid = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        inter = jnp.sum(dx * (aty - atyold_ref[0]))
+        dx2 = jnp.sum(dx * dx)
+        part_ref[0] = jnp.where(
+            (rid == 0) & (cid == 0),
+            inter,
+            jnp.where((rid == 0) & (cid == 1), dx2, 0.0),
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_reduce_dual(ngroups, nstrips, hr, rows, interpret):
+    strip_block = pl.BlockSpec(
+        (1, hr, 128), lambda i, s: (s[i, 0], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    chunk_block = pl.BlockSpec(
+        (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[chunk_block, chunk_block, chunk_block, strip_block,
+                  strip_block, strip_block,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            strip_block,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, s: (s[i, 0], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_reduce_dual_body, hr, rows),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nstrips, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_reduce_rmv_stats(ngroups, nstrips, hr, rows, interpret):
+    strip_block = pl.BlockSpec(
+        (1, hr, 128), lambda i, s: (s[i, 0], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    chunk_block = pl.BlockSpec(
+        (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[chunk_block, chunk_block, chunk_block, strip_block,
+                  strip_block],
+        out_specs=(
+            strip_block,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, s: (s[i, 0], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_reduce_rmv_stats_body, hr, rows),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nstrips, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
 def _chunk_gather(g: jax.Array, src: jax.Array) -> jax.Array:
     """g[src] over 128-wide rows (PROMISE_IN_BOUNDS: indices validated
     at plan-build time)."""
@@ -310,6 +479,78 @@ class RoutedOp:
             )
             xout = reduce_(self.meta_e, ge, self.vals_e, self._loc_e_swapped())
         return xout.reshape(self.cb * wc)[: self.num_cols].astype(y.dtype)
+
+    def pad_dual_strips(self, v: jax.Array) -> jax.Array:
+        """(m,)-vector -> (RB, HR, 128) strip layout (for the fused
+        dual step's y/b/is_equality inputs; pad rows are zeros)."""
+        hr128 = 128 * self.hr
+        return jnp.pad(
+            v.astype(jnp.float32), (0, self.rb * hr128 - self.num_rows)
+        ).reshape(self.rb, self.hr, 128)
+
+    def pad_primal_strips(self, v: jax.Array) -> jax.Array:
+        wc = 128 * self.b2
+        return jnp.pad(
+            v.astype(jnp.float32), (0, self.cb * wc - self.num_cols)
+        ).reshape(self.cb, self.b2, 128)
+
+    def mv_dual_step(self, z, y_strips, b_strips, eq_strips, sigma):
+        """Fused y+ = proj(y + sigma (b - A z)); returns (y+ as (m,),
+        y+ strips for the follow-up rmv, sum((y+-y)^2)). LP adaptive
+        hot path only (see models/pdhg._take_step_adaptive)."""
+        wc, hr128 = 128 * self.b2, 128 * self.hr
+        shift = int(self.b2).bit_length() - 1
+        interp = self._interpret()
+        with jax.enable_x64(False):
+            zp = jnp.pad(
+                z.astype(jnp.float32), (0, self.cb * wc - self.num_cols)
+            )
+            zs = zp.reshape(self.cb, 128, self.b2)
+            expand = _make_expand(
+                self.strip_e.shape[0], self.cb, self.b2,
+                self.group_rows, shift, interp,
+            )
+            g = expand(self.strip_e, zs, self.loc_e)
+            gr = _chunk_gather(g, self.chunk_src_r)
+            reduce_ = _make_reduce_dual(
+                self.meta_r.shape[0], self.rb, self.hr,
+                self.group_rows, interp,
+            )
+            y_next_strips, parts = reduce_(
+                self.meta_r, gr, self.vals_r, self.loc_r,
+                y_strips, b_strips, eq_strips,
+                jnp.asarray(sigma, jnp.float32).reshape(1, 1),
+            )
+            dy2 = jnp.sum(parts[:, 0, 0])
+        y_next = y_next_strips.reshape(self.rb * hr128)[: self.num_rows]
+        return y_next, y_next_strips, dy2
+
+    def rmv_stats(self, y_strips, dx_strips, atyold_strips):
+        """Fused A'y+ with the PDLP step-control reductions; returns
+        (aty+ as (n,), sum(dx*(aty+ - aty_old)), sum(dx^2))."""
+        wc = 128 * self.b2
+        shift = int(self.hr).bit_length() - 1
+        interp = self._interpret()
+        with jax.enable_x64(False):
+            ys = y_strips.reshape(self.rb, 128, self.hr)
+            expand = _make_expand(
+                self.strip_r.shape[0], self.rb, self.hr,
+                self.group_rows, shift, interp,
+            )
+            g = expand(self.strip_r, ys, self._loc_r_swapped())
+            ge = _chunk_gather(g, self.chunk_src_e)
+            reduce_ = _make_reduce_rmv_stats(
+                self.meta_e.shape[0], self.cb, self.b2,
+                self.group_rows, interp,
+            )
+            aty_strips, parts = reduce_(
+                self.meta_e, ge, self.vals_e, self.loc_e,
+                dx_strips, atyold_strips,
+            )
+            interaction = jnp.sum(parts[:, 0, 0])
+            dx2 = jnp.sum(parts[:, 0, 1])
+        aty = aty_strips.reshape(self.cb * wc)[: self.num_cols]
+        return aty, interaction, dx2
 
     def _loc_r_swapped(self) -> jax.Array:
         # (local_row | local_col << 16) in R-order for the rmv expansion.
@@ -471,10 +712,13 @@ def build_routed_op(
     strip_r_groups = np.repeat(np.arange(rb, dtype=np.int32), rgroups)
 
     def first_flags(strips):
-        meta = np.zeros((len(strips), 2), dtype=np.int32)
+        # columns: [strip id, first-group-of-strip, last-group-of-strip]
+        meta = np.zeros((len(strips), 3), dtype=np.int32)
         meta[:, 0] = strips
         meta[0, 1] = 1
         meta[1:, 1] = (strips[1:] != strips[:-1]).astype(np.int32)
+        meta[-1, 2] = 1
+        meta[:-1, 2] = (strips[1:] != strips[:-1]).astype(np.int32)
         return meta
 
     if share_plan_with is not None:
