@@ -1,0 +1,68 @@
+"""Split-precision refinement driver tests (refine.py)."""
+
+import dataclasses
+
+import numpy as np
+
+from firstorderlp_tpu import TerminationReason
+from firstorderlp_tpu.refine import optimize_split_precision, phase1_params
+
+from fixtures import example_lp, example_lp_easy_primal_infeasible
+from utils import optimality_criteria, pdhg_params
+
+
+def test_reaches_1e8_via_two_phases():
+    params = pdhg_params(optimality_criteria(1e-8), ruiz_iterations=10)
+    out = optimize_split_precision(params, example_lp())
+    assert (
+        out.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        out.primal_solution, [1.0, 0.0, 6.0, 2.0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out.dual_solution, [0.5, 4.0, 0.0], atol=1e-6
+    )
+    last = out.iteration_stats[-1]
+    ci = last.convergence_information[0]
+    # the merged log carries continuous accounting and a certified
+    # 1e-8-level solution (residuals evaluated in f64)
+    assert ci.relative_l2_primal_residual < 1e-8
+    assert ci.relative_l2_dual_residual < 1e-8
+    assert last.cumulative_kkt_matrix_passes > 0
+    assert last.iteration_number >= out.iteration_count - 1
+
+
+def test_phase1_params_relaxation():
+    params = pdhg_params(optimality_criteria(1e-8))
+    p1 = phase1_params(params, switch_tolerance=1e-6)
+    assert p1.dtype == "float32"
+    assert p1.stats_dtype == "float64"
+    assert p1.termination_criteria.eps_optimal_relative == 1e-6
+    # tolerances looser than the switch are preserved
+    loose = pdhg_params(optimality_criteria(1e-4))
+    assert (
+        phase1_params(loose).termination_criteria.eps_optimal_relative
+        == 1e-4
+    )
+
+
+def test_infeasibility_short_circuits_phase_two():
+    """A primal-infeasible instance terminates in phase 1 with the
+    certificate; no f64 phase runs (certificates don't need refining)."""
+    params = pdhg_params(
+        dataclasses.replace(
+            optimality_criteria(1e-8),
+            eps_primal_infeasible=1e-10,
+            eps_dual_infeasible=1e-10,
+        ),
+        ruiz_iterations=10,
+    )
+    out = optimize_split_precision(
+        params, example_lp_easy_primal_infeasible()
+    )
+    assert (
+        out.termination_reason
+        == TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
+    )
