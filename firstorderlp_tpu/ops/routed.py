@@ -388,13 +388,13 @@ class RoutedOp:
     loc_e: jax.Array  # (nchunks_e, 128) int32: local_col | local_row<<16
     vals_e: jax.Array  # (nchunks_e, 128) f32 (used by rmv reduce)
     strip_e: jax.Array  # (ngroups_e,) int32 col strip per E group
-    meta_e: jax.Array  # (ngroups_e, 2) int32 [col strip, first] (rmv)
+    meta_e: jax.Array  # (ngroups_e, 3) int32 [col strip, first, last]
     chunk_src_e: jax.Array  # (nchunks_e,) int32 R-chunk per E-chunk (rmv)
     # R-order (tiles sorted by row-strip, col-strip)
     loc_r: jax.Array  # (nchunks_r, 128) int32
     vals_r: jax.Array  # (nchunks_r, 128) f32 (used by mv reduce)
     strip_r: jax.Array  # (ngroups_r,) int32 row strip per R group (rmv)
-    meta_r: jax.Array  # (ngroups_r, 2) int32 [row strip, first] (mv)
+    meta_r: jax.Array  # (ngroups_r, 3) int32 [row strip, first, last]
     chunk_src_r: jax.Array  # (nchunks_r,) int32 E-chunk per R-chunk (mv)
     # static geometry
     num_rows: int = dataclasses.field(metadata=dict(static=True))
