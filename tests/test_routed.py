@@ -184,3 +184,66 @@ def test_qp_objective_matrix_routed():
     np.testing.assert_allclose(
         out_r.primal_solution, out_e.primal_solution, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("b2,hr,gr", [
+    (1, 4, 2), (2, 2, 8), (4, 1, 4), (8, 8, 2), (2, 8, 16),
+])
+def test_geometry_sweep(b2, hr, gr):
+    """Plan correctness across strip/group geometries (tile padding,
+    group padding, chunk routing all shift with these)."""
+    rng = np.random.default_rng(b2 * 100 + hr * 10 + gr)
+    a = random_matrix(rng, 700, 500, 6000)
+    op = build_routed_op(a, group_rows=gr, b2=b2, hr=hr)
+    x = rng.normal(size=500).astype(np.float32)
+    y = rng.normal(size=700).astype(np.float32)
+    a32 = a.astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.mv(jnp.asarray(x))), a32 @ x,
+        atol=3e-6 * max(1.0, float(np.abs(a32 @ x).max())),
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.rmv(jnp.asarray(y))), a32.T @ y,
+        atol=3e-6 * max(1.0, float(np.abs(a32.T @ y).max())),
+    )
+
+
+def test_fused_dual_and_stats_match_composed():
+    """mv_dual_step / rmv_stats == the composed mv/rmv + XLA ops."""
+    rng = np.random.default_rng(31)
+    a = random_matrix(rng, 300, 400, 4000)
+    op = build_routed_op(a, group_rows=4)
+    a32 = a.astype(np.float32)
+    z = rng.normal(size=400).astype(np.float32)
+    y = rng.normal(size=300).astype(np.float32)
+    b = rng.normal(size=300).astype(np.float32)
+    eq = (rng.random(300) < 0.4).astype(np.float32)
+    sigma = 0.37
+    yn, yns, dy2 = op.mv_dual_step(
+        jnp.asarray(z),
+        op.pad_dual_strips(jnp.asarray(y)),
+        op.pad_dual_strips(jnp.asarray(b)),
+        op.pad_dual_strips(jnp.asarray(eq)),
+        sigma,
+    )
+    cand = y + sigma * (b - a32 @ z)
+    want_yn = np.where(eq != 0, cand, np.maximum(cand, 0.0))
+    np.testing.assert_allclose(np.asarray(yn), want_yn, atol=2e-5)
+    np.testing.assert_allclose(
+        float(dy2), float(np.sum((want_yn - y) ** 2)), rtol=2e-5
+    )
+    dx = rng.normal(size=400).astype(np.float32)
+    atyold = rng.normal(size=400).astype(np.float32)
+    aty, inter, dx2 = op.rmv_stats(
+        yns,
+        op.pad_primal_strips(jnp.asarray(dx)),
+        op.pad_primal_strips(jnp.asarray(atyold)),
+    )
+    want_aty = a32.T @ want_yn
+    np.testing.assert_allclose(np.asarray(aty), want_aty, atol=2e-4)
+    np.testing.assert_allclose(
+        float(inter), float(np.sum(dx * (want_aty - atyold))), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(dx2), float(np.sum(dx * dx)), rtol=2e-5
+    )
