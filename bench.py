@@ -28,10 +28,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: BENCH_NODES (default 20000), BENCH_BATCH (128), BENCH_ITERS
 (600 per instance), BENCH_DTYPE (float32), BENCH_SINGLE=1 to instead
-report the single-instance metric, BENCH_TARGET=1e-8 to report
-single-instance time-to-tolerance via the split-precision driver (f32
-routed phase + f64 warm-started tail, refine.py); its vs_baseline is
-(estimated 1-CPU-core time for the same KKT passes) / (measured time).
+report the single-instance metric, BENCH_TARGET=1e-8 to report single-instance
+time-to-tolerance via iterative refinement (all-f32: routed phase +
+f32 solves of shifted residual LPs, certified in f64, f64-tail
+fallback; refine.py); its vs_baseline is (estimated 1-CPU-core time
+for the same KKT passes) / (measured time).
 """
 
 import json
@@ -90,7 +91,7 @@ def make_params(limit, dtype, evals_per_dispatch=64, fmt="ell"):
 def run_time_to_tolerance(num_nodes, target):
     """Single-instance time-to-tolerance (the reference's declared
     correctness bar: 1e-8 relative KKT error, termination.jl:33-45) on
-    real hardware via the split-precision driver."""
+    real hardware via iterative refinement (f64-certified)."""
     import dataclasses
 
     import numpy as np
@@ -99,7 +100,7 @@ def run_time_to_tolerance(num_nodes, target):
     from firstorderlp_tpu.generators import generate_pagerank_lp
     from firstorderlp_tpu.models.pdhg import prepare_problem
     from firstorderlp_tpu.refine import (
-        optimize_split_precision,
+        optimize_iterative_refinement,
         phase1_params,
     )
 
@@ -119,11 +120,15 @@ def run_time_to_tolerance(num_nodes, target):
     )
     prepared = prepare_problem(phase1_params(params), problem)
     t0 = time.time()
-    out = optimize_split_precision(params, problem, prepared=prepared)
-    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    out, fb = optimize_iterative_refinement(
+        params, problem, prepared=prepared
+    )
+    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s "
+          f"(f64 fallback used: {fb})", file=sys.stderr)
     t0 = time.time()
-    out = optimize_split_precision(params, problem, prepared=prepared)
+    out, fb = optimize_iterative_refinement(
+        params, problem, prepared=prepared
+    )
     solve_time = time.time() - t0
     last = out.iteration_stats[-1]
     kkt = last.cumulative_kkt_matrix_passes

@@ -83,7 +83,7 @@ from .models.pdhg import (  # noqa: E402
 from .models.mirror_prox import MirrorProxParameters  # noqa: E402
 from .models.api import optimize  # noqa: E402
 
-from .refine import optimize_split_precision
+from .refine import optimize_iterative_refinement, optimize_split_precision
 
 __all__ = [
     "QuadraticProgrammingProblem",
@@ -124,6 +124,7 @@ __all__ = [
     "MirrorProxParameters",
     "optimize",
     "optimize_split_precision",
+    "optimize_iterative_refinement",
 ]
 
 __version__ = "0.1.0"

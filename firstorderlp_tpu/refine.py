@@ -128,3 +128,257 @@ def phase1_params(
         matrix_format="auto",
         termination_criteria=relaxed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative refinement: 1e-8 from f32 solves alone (with certification)
+# ---------------------------------------------------------------------------
+
+
+def _shifted_problem(problem, x0, y0, alpha, promote_threshold):
+    """The residual LP around (x0, y0), scaled by `alpha`.
+
+    Derivation (primal-dual refinement of the saddle point
+    c'x - y'(Ax-b)): with x = x0 + u/alpha, y = y0 + v/alpha the shifted
+    objective is alpha(c - A'y0), the shifted rhs alpha(b - A x0), and
+    the bounds alpha(l - x0), alpha(u - x0). Inequality duals carry the
+    constraint v_I >= -alpha y0_I, which standard form cannot express;
+    rows whose y0_I is clearly positive (> promote_threshold) are
+    PROMOTED to equalities (their optimal dual is strictly positive
+    under strict complementarity - a guess certified afterwards in f64
+    with a fallback), and the remaining rows clamp y0_I to 0 so
+    v_I >= 0 matches the standard cone.
+
+    Returns (shifted_problem, row permutation new->old, y0_used)."""
+    import scipy.sparse as sp
+
+    m = problem.num_constraints
+    k = problem.num_equalities
+    a = sp.csr_matrix(problem.constraint_matrix)
+    y0_used = np.array(y0, dtype=np.float64)
+    ineq = np.arange(k, m)
+    promoted_mask = y0_used[ineq] > promote_threshold
+    y0_used[ineq[~promoted_mask]] = 0.0
+
+    promoted = ineq[promoted_mask]
+    remaining = ineq[~promoted_mask]
+    perm = np.concatenate([np.arange(k), promoted, remaining])
+    a_perm = a[perm]
+
+    x0 = np.asarray(x0, dtype=np.float64)
+    b_hat = alpha * (np.asarray(problem.right_hand_side)[perm]
+                     - a_perm @ x0)
+    c_hat = alpha * (
+        np.asarray(problem.objective_vector) - a.T @ y0_used
+    )
+    lo = alpha * (np.asarray(problem.variable_lower_bound) - x0)
+    hi = alpha * (np.asarray(problem.variable_upper_bound) - x0)
+    from .problem import QuadraticProgrammingProblem
+
+    shifted = QuadraticProgrammingProblem(
+        variable_lower_bound=lo,
+        variable_upper_bound=hi,
+        objective_matrix=sp.csc_matrix(
+            (problem.num_variables, problem.num_variables)
+        ),
+        objective_vector=c_hat,
+        objective_constant=0.0,
+        constraint_matrix=sp.csc_matrix(a_perm),
+        right_hand_side=b_hat,
+        num_equalities=int(k + len(promoted)),
+    )
+    return shifted, perm, y0_used
+
+
+def _certified(prepared, criteria, x, y):
+    """Evaluates the TRUE f64 convergence information of (x, y) on the
+    original problem (reusing the phase-1 prepared f64 bundle) and
+    returns (meets_optimality, conv)."""
+    import jax.numpy as jnp
+
+    from .iteration_stats import compute_convergence_information
+    from .termination import optimality_criteria_met
+
+    bundle = prepared.bundle
+    eps_ratio = (
+        criteria.eps_optimal_absolute / criteria.eps_optimal_relative
+        if criteria.eps_optimal_relative > 0
+        else 1.0
+    )
+    conv = compute_convergence_information(
+        bundle.original,
+        bundle.qp_cache,
+        jnp.asarray(x, jnp.float64),
+        jnp.asarray(y, jnp.float64),
+        eps_ratio,
+    )
+    import jax
+
+    conv = jax.device_get(conv)
+    ok = bool(
+        np.asarray(
+            optimality_criteria_met(criteria, conv, bundle.qp_cache)
+        )
+    )
+    return ok, conv
+
+
+def optimize_iterative_refinement(
+    params: _pdhg.PdhgParameters,
+    problem,
+    switch_tolerance: float = 1e-6,
+    max_rounds: int = 2,
+    prepared=None,
+):
+    """All-f32 path to 1e-8: f32 solve + f32 solves of shifted residual
+    LPs, each certified in f64 on the original problem; falls back to
+    the f64 tail (optimize_split_precision) if certification stalls.
+
+    No reference counterpart (the reference is pure f64); the technique
+    is LP iterative refinement (Gleixner et al.) adapted to the
+    primal-dual saddle point with active-set promotion for the dual
+    cone shift. Returns (output, used_fallback)."""
+    if problem.objective_matrix is not None and (
+        problem.objective_matrix.nnz > 0
+    ):
+        # the shifted-problem derivation here is LP-only; QPs take the
+        # f64 tail directly.
+        return (
+            optimize_split_precision(
+                params, problem, switch_tolerance, prepared=prepared
+            ),
+            True,
+        )
+    p1 = phase1_params(params, switch_tolerance)
+    if prepared is None:
+        prepared = _pdhg.prepare_problem(p1, problem)
+    out1 = _pdhg.optimize(p1, problem, prepared=prepared)
+    crit = params.termination_criteria
+    if out1.termination_reason not in _REFINABLE:
+        return out1, False
+
+    x = np.clip(
+        np.asarray(out1.primal_solution, np.float64),
+        problem.variable_lower_bound,
+        problem.variable_upper_bound,
+    )
+    y = np.asarray(out1.dual_solution, np.float64)
+    total_iters = out1.iteration_count
+    stats_tail = list(out1.iteration_stats)
+    kkt = stats_tail[-1].cumulative_kkt_matrix_passes if stats_tail else 0.0
+    t_accum = stats_tail[-1].cumulative_time_sec if stats_tail else 0.0
+
+    for round_idx in range(max_rounds):
+        ok, conv = _certified(prepared, crit, x, y)
+        if ok:
+            from .iteration_stats import to_host_stats
+            from .solve_log import PointType, RestartChoice
+
+            import jax
+
+            stats = to_host_stats(
+                conv,
+                jax.device_get(
+                    _infeas_info(prepared, x, y)
+                ),
+                total_iters,
+                kkt,
+                t_accum,
+                RestartChoice.RESTART_CHOICE_UNSPECIFIED,
+                0.0,
+                0.0,
+                {"refinement_rounds": float(round_idx)},
+                PointType.POINT_TYPE_AVERAGE_ITERATE,
+            )
+            stats_tail.append(stats)
+            return (
+                SaddlePointOutput(
+                    primal_solution=x,
+                    dual_solution=y,
+                    termination_reason=(
+                        TerminationReason.TERMINATION_REASON_OPTIMAL
+                    ),
+                    termination_string="OPTIMAL",
+                    iteration_count=total_iters,
+                    iteration_stats=stats_tail,
+                ),
+                False,
+            )
+        # residual scale sets the shift magnitude
+        res = max(
+            conv.l2_primal_residual / (1.0 + abs(conv.primal_objective)),
+            conv.l2_dual_residual / (1.0 + abs(conv.dual_objective)),
+            abs(conv.primal_objective - conv.dual_objective)
+            / (1.0 + abs(conv.primal_objective)),
+            1e-14,
+        )
+        alpha = min(1.0 / res * 1e-2, 1e12)
+        if alpha <= 1.0:
+            break
+        promote_threshold = np.sqrt(res) * (
+            1.0 + np.max(np.abs(y), initial=0.0)
+        )
+        shifted, perm, y0_used = _shifted_problem(
+            problem, x, y, alpha, promote_threshold
+        )
+        sub_params = phase1_params(params, switch_tolerance)
+        sub_params = dataclasses.replace(
+            sub_params,
+            verbosity=0,
+            termination_criteria=dataclasses.replace(
+                sub_params.termination_criteria,
+                # fixed cap (criteria are static config: a per-problem
+                # cap would force a fresh XLA compile per instance). If
+                # the shifted solve hasn't converged by here, the f64
+                # tail is the better spend.
+                iteration_limit=min(int(crit.iteration_limit), 20_000),
+            ),
+        )
+        sub = _pdhg.optimize(sub_params, shifted)
+        # NUMERICAL_ERROR on the shifted solve usually means movement
+        # hit zero at f32 exactness - the point is still a valid
+        # correction (certification decides). A shifted solve that hits
+        # its iteration cap is a diverging correction: stop refining.
+        if sub.termination_reason == (
+            TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+        ):
+            break
+        acceptable = _REFINABLE + (
+            TerminationReason.TERMINATION_REASON_NUMERICAL_ERROR,
+        )
+        if sub.termination_reason not in acceptable:
+            break
+        u = np.asarray(sub.primal_solution, np.float64)
+        v_perm = np.asarray(sub.dual_solution, np.float64)
+        v = np.empty_like(v_perm)
+        v[perm] = v_perm
+        x = np.clip(
+            x + u / alpha,
+            problem.variable_lower_bound,
+            problem.variable_upper_bound,
+        )
+        y = y0_used + v / alpha
+        kq = problem.num_equalities
+        y[kq:] = np.maximum(y[kq:], 0.0)
+        total_iters += sub.iteration_count
+        if sub.iteration_stats:
+            kkt += sub.iteration_stats[-1].cumulative_kkt_matrix_passes
+            t_accum += sub.iteration_stats[-1].cumulative_time_sec
+
+    # certification failed: honest f64 tail from the best point
+    out = optimize_split_precision(
+        params, problem, switch_tolerance, prepared=prepared
+    )
+    return out, True
+
+
+def _infeas_info(prepared, x, y):
+    import jax.numpy as jnp
+
+    from .iteration_stats import compute_infeasibility_information
+
+    return compute_infeasibility_information(
+        prepared.bundle.original,
+        jnp.asarray(x, jnp.float64),
+        jnp.asarray(y, jnp.float64),
+    )

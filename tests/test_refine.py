@@ -66,3 +66,39 @@ def test_infeasibility_short_circuits_phase_two():
         out.termination_reason
         == TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
     )
+
+
+def test_iterative_refinement_certifies_without_fallback():
+    """All-f32 refinement reaches certified 1e-8 (one shifted round) on
+    the golden LP; the f64 tail is not needed."""
+    from firstorderlp_tpu.refine import optimize_iterative_refinement
+
+    params = pdhg_params(optimality_criteria(1e-8), ruiz_iterations=10)
+    out, used_fallback = optimize_iterative_refinement(
+        params, example_lp()
+    )
+    assert not used_fallback
+    assert (
+        out.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        out.primal_solution, [1.0, 0.0, 6.0, 2.0], atol=1e-7
+    )
+    ci = out.iteration_stats[-1].convergence_information[0]
+    assert ci.relative_optimality_gap < 1e-8
+
+
+def test_iterative_refinement_falls_back_when_needed():
+    """max_rounds=0 forces the f64 tail; the result is still OPTIMAL."""
+    from firstorderlp_tpu.refine import optimize_iterative_refinement
+
+    params = pdhg_params(optimality_criteria(1e-8), ruiz_iterations=10)
+    out, used_fallback = optimize_iterative_refinement(
+        params, example_lp(), max_rounds=0
+    )
+    assert used_fallback
+    assert (
+        out.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
