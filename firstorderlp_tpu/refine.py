@@ -325,13 +325,17 @@ def optimize_iterative_refinement(
         sub_params = dataclasses.replace(
             sub_params,
             verbosity=0,
+            # the refined solve's internal stats don't need f64 (the
+            # certification here is the f64 authority); f32 stats skip
+            # the shifted problem's f64-ELL ingest entirely.
+            stats_dtype=None,
             termination_criteria=dataclasses.replace(
                 sub_params.termination_criteria,
                 # fixed cap (criteria are static config: a per-problem
                 # cap would force a fresh XLA compile per instance). If
                 # the shifted solve hasn't converged by here, the f64
                 # tail is the better spend.
-                iteration_limit=min(int(crit.iteration_limit), 20_000),
+                iteration_limit=min(int(crit.iteration_limit), 10_000),
             ),
         )
         sub = _pdhg.optimize(sub_params, shifted)
@@ -365,11 +369,38 @@ def optimize_iterative_refinement(
             kkt += sub.iteration_stats[-1].cumulative_kkt_matrix_passes
             t_accum += sub.iteration_stats[-1].cumulative_time_sec
 
-    # certification failed: honest f64 tail from the best point
-    out = optimize_split_precision(
-        params, problem, switch_tolerance, prepared=prepared
+    # certification failed: honest f64 tail warm-started from the best
+    # point so far (no phase-1 rerun; reuses the phase-1 f64 bundle).
+    p2 = dataclasses.replace(
+        params,
+        dtype="float64",
+        stats_dtype=None,
+        matrix_format="auto",
+        termination_criteria=dataclasses.replace(
+            crit,
+            iteration_limit=max(
+                int(crit.iteration_limit) - total_iters, 1000
+            ),
+        ),
     )
-    return out, True
+    prep2 = _pdhg.prepare_problem(
+        p2, problem, warm_start=(x, y), _reuse=prepared
+    )
+    out2 = _pdhg.optimize(p2, problem, prepared=prep2)
+    stats = stats_tail + _offset_stats(
+        out2.iteration_stats, total_iters, kkt, t_accum
+    )
+    return (
+        SaddlePointOutput(
+            primal_solution=np.asarray(out2.primal_solution),
+            dual_solution=np.asarray(out2.dual_solution),
+            termination_reason=out2.termination_reason,
+            termination_string=out2.termination_string,
+            iteration_count=total_iters + out2.iteration_count,
+            iteration_stats=stats,
+        ),
+        True,
+    )
 
 
 def _infeas_info(prepared, x, y):
