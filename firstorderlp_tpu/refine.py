@@ -315,8 +315,14 @@ def optimize_iterative_refinement(
         alpha = min(1.0 / res * 1e-2, 1e12)
         if alpha <= 1.0:
             break
-        promote_threshold = np.sqrt(res) * (
-            1.0 + np.max(np.abs(y), initial=0.0)
+        # threshold scales with the dual magnitudes themselves: an
+        # absolute "+1" floor promoted NOTHING on problems whose duals
+        # are uniformly small (PageRank: every y ~ 3e-3), clamping the
+        # whole dual to zero and making the shifted solve rebuild it
+        # from scratch at alpha scale.
+        y_scale = np.max(np.abs(y), initial=0.0)
+        promote_threshold = (
+            np.sqrt(res) * y_scale if y_scale > 0 else np.inf
         )
         shifted, perm, y0_used = _shifted_problem(
             problem, x, y, alpha, promote_threshold
