@@ -720,12 +720,28 @@ def solve_batch_shared_pattern(
             batched_state,
             fingerprint=fleet_fp,
         )
-        # The previous run's termination (e.g. its iteration limit) does
-        # not apply to this run's criteria; re-evaluate from scratch.
+        # The previous run's LIMIT-based terminations (iteration/time/
+        # KKT-pass) do not apply to this run's criteria, so those lanes
+        # re-enter the solve. Lanes that terminated with a convergence
+        # or infeasibility reason keep it: the already_terminated guard
+        # freezes their iterates/counters and the first evaluation
+        # re-reports them unchanged (see the comment above).
+        reasons = batched_state.termination_reason
+        limit_based = (
+            (reasons == TerminationReason.TERMINATION_REASON_TIME_LIMIT)
+            | (
+                reasons
+                == TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+            )
+            | (
+                reasons
+                == TerminationReason.TERMINATION_REASON_KKT_MATRIX_PASS_LIMIT
+            )
+        )
         batched_state = dataclasses.replace(
             batched_state,
-            termination_reason=jnp.zeros_like(
-                batched_state.termination_reason
+            termination_reason=jnp.where(
+                limit_based, jnp.zeros_like(reasons), reasons
             ),
         )
 

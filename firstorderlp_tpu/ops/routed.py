@@ -570,54 +570,37 @@ def _pick_pow2(value, lo, hi):
     return int(min(max(p, lo), hi))
 
 
-def build_routed_op(
-    matrix: sp.spmatrix,
-    group_rows: int = 32,
-    b2: "int | None" = None,
-    hr: "int | None" = None,
-    share_plan_with: "RoutedOp | None" = None,
-) -> RoutedOp:
-    """Builds the tile plan for `matrix` (host side, vectorized numpy).
+def auto_geometry(m: int, n: int, nnz: int) -> Tuple[int, int]:
+    """Default strip geometry (b2, hr) for an (m, n) matrix with `nnz`
+    nonzeros, targeting ~5% tile-padding overhead."""
+    # tile padding <= ~5% of nnz: 64 * ntiles <= 0.05 nnz
+    # => strip ~ sqrt(64 * m * n / (0.05 * nnz))
+    target = np.sqrt(64.0 * m * n / (0.05 * max(nnz, 1))) / 128.0
+    # measured sweep (docs/performance.md): 32-wide strips win from
+    # 20k to 100k nodes; smaller strips only for genuinely small n/m.
+    pick = max(_pick_pow2(target, 1, 128), 32)
+    b2 = min(pick, _pick_pow2(n / 128.0, 1, 128))
+    hr = min(pick, _pick_pow2(m / 128.0, 1, 128))
+    return b2, hr
 
-    group_rows: chunks per kernel group (G = group_rows*128 entries per
-    grid step; per-strip padding is < G entries).
-    b2/hr: strip geometry overrides (Wc = 128*b2, Hr = 128*hr), powers
-    of two in [1, 128]; the default targets ~5% tile-padding overhead.
-    share_plan_with: an existing RoutedOp over a matrix with the SAME
-    sparsity pattern (e.g. the rescaled copy); the new op reuses its
-    device-resident index planes and only transfers the value planes
-    (the host->device tunnel is the dominant ingest cost).
-    """
-    if share_plan_with is not None:
-        donor = share_plan_with
-        group_rows, b2, hr = donor.group_rows, donor.b2, donor.hr
-    csr = sp.csr_matrix(matrix)
-    csr.sum_duplicates()
+
+class PlanArrays:
+    """Host-side (numpy) routed tile plan for one matrix (or one shard
+    block). Field semantics match RoutedOp's device arrays."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def build_plan_arrays(
+    csr: sp.csr_matrix, group_rows: int, b2: int, hr: int
+) -> PlanArrays:
+    """Builds the numpy tile-plan arrays (the core of build_routed_op,
+    shared with the sharded block builder; empty blocks allowed - they
+    produce one all-zero group per strip)."""
     m, n = csr.shape
     coo = csr.tocoo()
     nnz = coo.nnz
-    if nnz == 0 or m == 0 or n == 0:
-        raise ValueError("routed layout requires a nonempty matrix")
-
-    import hashlib
-
-    h = hashlib.sha256()
-    h.update(repr((m, n, nnz)).encode())
-    h.update(np.ascontiguousarray(csr.indptr).tobytes())
-    h.update(np.ascontiguousarray(csr.indices).tobytes())
-    pattern_hash = h.hexdigest()
-
-    if b2 is None or hr is None:
-        # tile padding <= ~5% of nnz: 64 * ntiles <= 0.05 nnz
-        # => strip ~ sqrt(64 * m * n / (0.05 * nnz))
-        target = np.sqrt(64.0 * m * n / (0.05 * max(nnz, 1))) / 128.0
-        # measured sweep (docs/performance.md): 32-wide strips win from
-        # 20k to 100k nodes; smaller strips only for genuinely small n/m.
-        pick = max(_pick_pow2(target, 1, 128), 32)
-        if b2 is None:
-            b2 = min(pick, _pick_pow2(n / 128.0, 1, 128))
-        if hr is None:
-            hr = min(pick, _pick_pow2(m / 128.0, 1, 128))
     if b2 & (b2 - 1) or hr & (hr - 1):
         raise ValueError("b2 and hr must be powers of two")
     wc, hr128 = 128 * b2, 128 * hr
@@ -721,28 +704,17 @@ def build_routed_op(
         meta[:-1, 2] = (strips[1:] != strips[:-1]).astype(np.int32)
         return meta
 
-    if share_plan_with is not None:
-        if donor.pattern_hash != pattern_hash:
-            raise ValueError(
-                "share_plan_with requires an identical sparsity pattern"
-            )
-        return dataclasses.replace(
-            donor,
-            vals_e=jnp.asarray(vals_e.reshape(nchunks_e, 128)),
-            vals_r=jnp.asarray(vals_r.reshape(nchunks_r, 128)),
-        )
-
-    return RoutedOp(
-        loc_e=jnp.asarray(loc_e.reshape(nchunks_e, 128)),
-        vals_e=jnp.asarray(vals_e.reshape(nchunks_e, 128)),
-        strip_e=jnp.asarray(strip_e_groups),
-        meta_e=jnp.asarray(first_flags(strip_e_groups)),
-        chunk_src_e=jnp.asarray(chunk_src_e),
-        loc_r=jnp.asarray(loc_r.reshape(nchunks_r, 128)),
-        vals_r=jnp.asarray(vals_r.reshape(nchunks_r, 128)),
-        strip_r=jnp.asarray(strip_r_groups),
-        meta_r=jnp.asarray(first_flags(strip_r_groups)),
-        chunk_src_r=jnp.asarray(chunk_src_r),
+    return PlanArrays(
+        loc_e=loc_e.reshape(nchunks_e, 128),
+        vals_e=vals_e.reshape(nchunks_e, 128),
+        strip_e=strip_e_groups,
+        meta_e=first_flags(strip_e_groups),
+        chunk_src_e=chunk_src_e,
+        loc_r=loc_r.reshape(nchunks_r, 128),
+        vals_r=vals_r.reshape(nchunks_r, 128),
+        strip_r=strip_r_groups,
+        meta_r=first_flags(strip_r_groups),
+        chunk_src_r=chunk_src_r,
         num_rows=m,
         num_cols=n,
         b2=int(b2),
@@ -750,5 +722,82 @@ def build_routed_op(
         cb=int(cb),
         rb=int(rb),
         group_rows=int(group_rows),
+    )
+
+
+def build_routed_op(
+    matrix: sp.spmatrix,
+    group_rows: int = 32,
+    b2: "int | None" = None,
+    hr: "int | None" = None,
+    share_plan_with: "RoutedOp | None" = None,
+) -> RoutedOp:
+    """Builds the tile plan for `matrix` (host side, vectorized numpy).
+
+    group_rows: chunks per kernel group (G = group_rows*128 entries per
+    grid step; per-strip padding is < G entries).
+    b2/hr: strip geometry overrides (Wc = 128*b2, Hr = 128*hr), powers
+    of two in [1, 128]; the default targets ~5% tile-padding overhead.
+    share_plan_with: an existing RoutedOp over a matrix with the SAME
+    sparsity pattern (e.g. the rescaled copy); the new op reuses its
+    device-resident index planes and only transfers the value planes
+    (the host->device tunnel is the dominant ingest cost).
+    """
+    if share_plan_with is not None:
+        donor = share_plan_with
+        group_rows, b2, hr = donor.group_rows, donor.b2, donor.hr
+    csr = sp.csr_matrix(matrix)
+    csr.sum_duplicates()
+    m, n = csr.shape
+    nnz = csr.nnz
+    if nnz == 0 or m == 0 or n == 0:
+        raise ValueError("routed layout requires a nonempty matrix")
+
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr((m, n, nnz)).encode())
+    h.update(np.ascontiguousarray(csr.indptr).tobytes())
+    h.update(np.ascontiguousarray(csr.indices).tobytes())
+    pattern_hash = h.hexdigest()
+
+    if b2 is None or hr is None:
+        auto_b2, auto_hr = auto_geometry(m, n, nnz)
+        if b2 is None:
+            b2 = auto_b2
+        if hr is None:
+            hr = auto_hr
+
+    plan = build_plan_arrays(csr, group_rows, b2, hr)
+
+    if share_plan_with is not None:
+        if donor.pattern_hash != pattern_hash:
+            raise ValueError(
+                "share_plan_with requires an identical sparsity pattern"
+            )
+        return dataclasses.replace(
+            donor,
+            vals_e=jnp.asarray(plan.vals_e),
+            vals_r=jnp.asarray(plan.vals_r),
+        )
+
+    return RoutedOp(
+        loc_e=jnp.asarray(plan.loc_e),
+        vals_e=jnp.asarray(plan.vals_e),
+        strip_e=jnp.asarray(plan.strip_e),
+        meta_e=jnp.asarray(plan.meta_e),
+        chunk_src_e=jnp.asarray(plan.chunk_src_e),
+        loc_r=jnp.asarray(plan.loc_r),
+        vals_r=jnp.asarray(plan.vals_r),
+        strip_r=jnp.asarray(plan.strip_r),
+        meta_r=jnp.asarray(plan.meta_r),
+        chunk_src_r=jnp.asarray(plan.chunk_src_r),
+        num_rows=plan.num_rows,
+        num_cols=plan.num_cols,
+        b2=plan.b2,
+        hr=plan.hr,
+        cb=plan.cb,
+        rb=plan.rb,
+        group_rows=plan.group_rows,
         pattern_hash=pattern_hash,
     )

@@ -76,6 +76,22 @@ def optimize_split_precision(
     )
     remaining = crit.iteration_limit - out1.iteration_count
     if remaining <= 0:
+        # Phase 1 exhausted the caller's whole budget. Its OPTIMAL label
+        # certifies only the RELAXED switch tolerance, not the caller's;
+        # report the honest limit-based reason unless the tolerances
+        # coincide (then the relaxed certificate IS the caller's).
+        if (
+            out1.termination_reason
+            == TerminationReason.TERMINATION_REASON_OPTIMAL
+            and p1.termination_criteria != crit
+        ):
+            return dataclasses.replace(
+                out1,
+                termination_reason=(
+                    TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+                ),
+                termination_string="ITERATION_LIMIT",
+            )
         return out1
     p2 = dataclasses.replace(
         p2,
@@ -377,16 +393,31 @@ def optimize_iterative_refinement(
 
     # certification failed: honest f64 tail warm-started from the best
     # point so far (no phase-1 rerun; reuses the phase-1 f64 bundle).
+    # The tail spends only what is left of the caller's declared
+    # iteration budget; if nothing is left, return the best point with
+    # the honest limit-based reason instead of overrunning.
+    remaining = int(crit.iteration_limit) - total_iters
+    if remaining <= 0:
+        return (
+            SaddlePointOutput(
+                primal_solution=x,
+                dual_solution=y,
+                termination_reason=(
+                    TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+                ),
+                termination_string="ITERATION_LIMIT",
+                iteration_count=total_iters,
+                iteration_stats=stats_tail,
+            ),
+            True,
+        )
     p2 = dataclasses.replace(
         params,
         dtype="float64",
         stats_dtype=None,
         matrix_format="auto",
         termination_criteria=dataclasses.replace(
-            crit,
-            iteration_limit=max(
-                int(crit.iteration_limit) - total_iters, 1000
-            ),
+            crit, iteration_limit=remaining
         ),
     )
     prep2 = _pdhg.prepare_problem(
