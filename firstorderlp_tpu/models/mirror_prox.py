@@ -415,11 +415,13 @@ def optimize(
     params: MirrorProxParameters,
     original_problem: QuadraticProgrammingProblem,
     _placement=None,
+    _shard_plan=None,
 ) -> SaddlePointOutput:
     """Solves a QP with saddle-point mirror prox
     (reference optimize, mirror_prox.jl:610-919).
 
     `_placement`: see pdhg.optimize - mesh-sharding hook for pytrees.
+    `_shard_plan`: see pdhg.optimize - mesh-partitioned constraint op.
     """
     validate(original_problem)
     validate_termination_criteria(params.termination_criteria)
@@ -438,7 +440,11 @@ def optimize(
         else None
     )
     bundle = to_device_scaled(
-        scaled_problem, dtype, params.matrix_format, stats_dtype=stats_dtype
+        scaled_problem,
+        dtype,
+        params.matrix_format,
+        stats_dtype=stats_dtype,
+        shard_plan=_shard_plan,
     )
     n = bundle.scaled.num_variables
     m = bundle.scaled.num_constraints

@@ -783,6 +783,7 @@ def prepare_problem(
     original_problem: QuadraticProgrammingProblem,
     warm_start=None,
     _reuse=None,
+    _shard_plan=None,
 ) -> PreparedProblem:
     """Validates, rescales and transfers `original_problem` for
     `optimize` (reference: the rescaling step of optimize, pdhg.jl:
@@ -819,7 +820,10 @@ def prepare_problem(
         bundle = dataclasses.replace(
             _reuse.bundle,
             scaled=to_device(
-                scaled_problem.scaled_qp, dtype, params.matrix_format
+                scaled_problem.scaled_qp,
+                dtype,
+                params.matrix_format,
+                shard_plan=_shard_plan,
             ),
         )
     else:
@@ -835,6 +839,7 @@ def prepare_problem(
             dtype,
             params.matrix_format,
             stats_dtype=stats_dtype,
+            shard_plan=_shard_plan,
         )
 
     state = _initial_state(bundle, dtype)
@@ -904,6 +909,7 @@ def optimize(
     original_problem: QuadraticProgrammingProblem,
     _placement=None,
     prepared: "PreparedProblem | None" = None,
+    _shard_plan=None,
 ) -> SaddlePointOutput:
     """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049).
 
@@ -911,7 +917,8 @@ def optimize(
     (bundle, state) -> (bundle, state) that device_puts all pytree leaves
     with their mesh shardings before the segment loop starts.
     `prepared` (from prepare_problem on the SAME problem and params)
-    skips ingest.
+    skips ingest. `_shard_plan` (parallel.sharded) builds the constraint
+    operator block-partitioned over the plan's mesh at ingest.
     """
     validate_termination_criteria(params.termination_criteria)
     if params.primal_importance <= 0 or not np.isfinite(
@@ -919,7 +926,9 @@ def optimize(
     ):
         raise ValueError("primal_importance must be positive and finite")
     if prepared is None:
-        prepared = prepare_problem(params, original_problem)
+        prepared = prepare_problem(
+            params, original_problem, _shard_plan=_shard_plan
+        )
     scaled_problem = prepared.scaled_problem
     bundle = prepared.bundle
     state = prepared.initial_state

@@ -84,6 +84,7 @@ def to_device(
     format: str = "auto",
     convert=None,
     share_from: "DeviceQp | None" = None,
+    shard_plan=None,
 ) -> DeviceQp:
     """`convert` maps host arrays to leaves (default jnp.asarray); pass
     np.asarray to build a host-side mirror (used by batched stacking so
@@ -92,7 +93,12 @@ def to_device(
     share_from: a DeviceQp over the same sparsity pattern (the scaled
     copy); when its constraint operator is routed, the new op reuses the
     donor's device index planes and transfers only values (host->device
-    transfer dominates ingest on tunneled backends)."""
+    transfer dominates ingest on tunneled backends).
+
+    shard_plan: RoutedShardPlan for multi-chip solves; applies to the
+    CONSTRAINT matrix only (a quadratic objective's ('primal','primal')
+    block structure does not fit the ('dual','primal') mesh and stays on
+    the GSPMD-sharded ELL/dense layouts)."""
     if convert is None:
         convert = jnp.asarray
     np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -113,6 +119,11 @@ def to_device(
     constraint_op = None
     if share_from is not None and convert is jnp.asarray:
         from .routed import RoutedOp, build_routed_op
+        from .routed_sharded import (
+            RoutedShardPlan,
+            ShardedRoutedOp,
+            build_sharded_routed_op,
+        )
 
         donor = share_from.constraint_matrix
         if isinstance(donor, RoutedOp) and jnp.dtype(dtype) == jnp.float32:
@@ -122,9 +133,29 @@ def to_device(
                 )
             except ValueError:
                 constraint_op = None  # pattern mismatch: build fresh
+        elif isinstance(donor, ShardedRoutedOp) and (
+            jnp.dtype(dtype) == jnp.float32
+        ):
+            try:
+                constraint_op = build_sharded_routed_op(
+                    problem.constraint_matrix,
+                    RoutedShardPlan(
+                        mesh=donor.mesh,
+                        b2=donor.b2,
+                        hr=donor.hr,
+                        group_rows=donor.group_rows,
+                    ),
+                    share_plan_with=donor,
+                )
+            except ValueError:
+                constraint_op = None  # plan mismatch: build fresh
     if constraint_op is None:
         constraint_op = build_linop(
-            problem.constraint_matrix, dtype, format, convert=convert
+            problem.constraint_matrix,
+            dtype,
+            format,
+            convert=convert,
+            shard_plan=shard_plan,
         )
 
     return DeviceQp(
@@ -147,6 +178,7 @@ def to_device_scaled(
     format: str = "auto",
     convert=None,
     stats_dtype=None,
+    shard_plan=None,
 ) -> DeviceScaledQp:
     """`stats_dtype` (default: `dtype`) is the precision of the ORIGINAL
     problem copy, the rescaling vectors and the norm cache - i.e. of the
@@ -177,7 +209,8 @@ def to_device_scaled(
         ),
     )
     scaled_qp_device = to_device(
-        scaled_problem.scaled_qp, dtype, format, convert
+        scaled_problem.scaled_qp, dtype, format, convert,
+        shard_plan=shard_plan,
     )
     return DeviceScaledQp(
         scaled=scaled_qp_device,
@@ -187,6 +220,7 @@ def to_device_scaled(
             format,
             convert,
             share_from=scaled_qp_device,
+            shard_plan=shard_plan,
         ),
         constraint_rescaling=convert(
             np.asarray(scaled_problem.constraint_rescaling, np_dtype)

@@ -241,13 +241,19 @@ def build_dense_op(
     )
 
 
+# Single source of truth for the auto-format routed cutover (the
+# sharded path must never diverge from build_linop's default).
+ROUTED_NNZ_THRESHOLD = 50_000
+
+
 def build_linop(
     matrix: sp.spmatrix,
     dtype=jnp.float64,
     format: str = "auto",
     dense_size_limit: int = 2_000_000,
     convert=None,
-    routed_nnz_threshold: int = 50_000,
+    routed_nnz_threshold: int = ROUTED_NNZ_THRESHOLD,
+    shard_plan=None,
 ) -> LinOp:
     """Chooses a device layout for `matrix`.
 
@@ -256,10 +262,29 @@ def build_linop(
     "auto": dense when m*n <= dense_size_limit, routed on TPU for f32
     matrices with >= routed_nnz_threshold nonzeros (~10x the ELL matvec,
     measured), ELL otherwise.
+
+    shard_plan: a RoutedShardPlan (ops/routed_sharded.py) for multi-chip
+    solves; when the routed conditions hit, builds the block-partitioned
+    ShardedRoutedOp over the plan's mesh instead of the single-device
+    RoutedOp (which has no sharding story).
     """
     m, n = matrix.shape
     if format == "dense" or (format == "auto" and m * n <= dense_size_limit):
         return build_dense_op(matrix, dtype, convert)
+    if shard_plan is not None:
+        if format == "routed" or (
+            format == "auto"
+            and jnp.dtype(dtype) == jnp.float32
+            and matrix.nnz >= routed_nnz_threshold
+            and convert in (None, jnp.asarray)
+            and jax.default_backend() == "tpu"
+        ):
+            from .routed_sharded import build_sharded_routed_op
+
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("routed layout computes in f32")
+            return build_sharded_routed_op(matrix, shard_plan)
+        return build_sparse_op(matrix, dtype, convert)
     if format == "routed" or (
         format == "auto"
         and jnp.dtype(dtype) == jnp.float32

@@ -91,9 +91,18 @@ def _put(x, mesh: Mesh, spec: P):
 
 def _place_linop(op, mesh: Mesh, row_spec: P, col_spec: P):
     from ..ops.linops import DenseOp, SparseOp, EllHalf, EllBucket
+    from ..ops.routed import RoutedOp
+    from ..ops.routed_sharded import ShardedRoutedOp
 
     if op is None:
         return None
+    if isinstance(op, ShardedRoutedOp):
+        return op  # block plans were placed on the mesh at build time
+    if isinstance(op, RoutedOp):
+        raise TypeError(
+            "single-device RoutedOp cannot be mesh-sharded; build with a "
+            "RoutedShardPlan (sharded_optimize does this automatically)"
+        )
     if isinstance(op, DenseOp):
         return DenseOp(
             a=_put(
@@ -235,27 +244,56 @@ def sharded_optimize(
     params, problem: QuadraticProgrammingProblem, mesh: Mesh
 ) -> SaddlePointOutput:
     """Multi-chip solve: pads the problem to the mesh, shards all pytrees,
-    and runs the standard segment loop under GSPMD."""
+    and runs the standard segment loop under GSPMD.
+
+    When the routed conditions hit (explicit matrix_format="routed", or
+    "auto" with an f32 solve and nnz >= ROUTED_NNZ_THRESHOLD on TPU),
+    the constraint operator is built block-partitioned over the mesh
+    (ops/routed_sharded.py) so multi-chip solves run the fast Pallas
+    kernels per shard instead of falling back to the ELL layout."""
+    import jax
+
     from ..models import mirror_prox as _mp
     from ..models import pdhg as _pdhg
+    from ..ops.linops import ROUTED_NNZ_THRESHOLD
+    from ..ops.routed_sharded import plan_routed_shards
 
     row_multiple = mesh.shape.get("dual", 1)
     col_multiple = mesh.shape.get("primal", 1)
+    shard_plan = None
+    nnz = problem.constraint_matrix.nnz
+    use_routed = params.dtype == "float32" and (
+        params.matrix_format == "routed"
+        or (
+            params.matrix_format == "auto"
+            and nnz >= ROUTED_NNZ_THRESHOLD
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if use_routed:
+        shard_plan = plan_routed_shards(
+            problem.num_constraints, problem.num_variables, nnz, mesh
+        )
+        # the strip grid must divide exactly across the mesh so vector
+        # shard boundaries align with the block plans (no resharding
+        # collectives around the matvecs).
+        row_multiple = shard_plan.row_multiple
+        col_multiple = shard_plan.col_multiple
+    elif params.matrix_format == "routed":
+        raise ValueError(
+            "matrix_format='routed' requires dtype='float32' "
+            "(the MXU has no f64)"
+        )
     padded, m, n = pad_problem(problem, row_multiple, col_multiple)
     placement = make_placement(mesh)
-    # The routed Pallas layout has no sharding story yet; sharded solves
-    # run on the GSPMD-partitionable ELL/dense layouts (pre-empt auto's
-    # routed pick for big f32 matrices on TPU).
-    if params.matrix_format == "routed" or (
-        params.matrix_format == "auto"
-        and params.dtype == "float32"
-        and padded.constraint_matrix.nnz >= 50_000
-    ):
-        params = dataclasses.replace(params, matrix_format="ell")
     if isinstance(params, _pdhg.PdhgParameters):
-        output = _pdhg.optimize(params, padded, _placement=placement)
+        output = _pdhg.optimize(
+            params, padded, _placement=placement, _shard_plan=shard_plan
+        )
     elif isinstance(params, _mp.MirrorProxParameters):
-        output = _mp.optimize(params, padded, _placement=placement)
+        output = _mp.optimize(
+            params, padded, _placement=placement, _shard_plan=shard_plan
+        )
     else:
         raise TypeError(f"Unknown parameter type: {type(params)!r}")
 
