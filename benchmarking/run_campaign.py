@@ -28,6 +28,7 @@ import os
 import subprocess
 import sys
 import time
+from dataclasses import replace as dataclasses_replace
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -46,6 +47,7 @@ import firstorderlp_tpu as folp  # noqa: E402
 from firstorderlp_tpu import (  # noqa: E402
     AdaptiveStepsizeParams,
     ConstantStepsizeParams,
+    MalitskyPockStepsizeParameters,
     MirrorProxParameters,
     PdhgParameters,
     RestartScheme,
@@ -179,6 +181,23 @@ def build_experiments(time_limit):
         exps[f"mirror_prox_{tag}"] = (mp_config(tol, time_limit), tol,
                                       False)
     exps["mirror_prox_1e-4"] = (mp_config(1e-4, time_limit), 1e-4, False)
+    # Malitsky-Pock linesearch rung (reference artifact
+    # miplib_malitskypock_100k.csv, per /root/reference/
+    # .MISSING_LARGE_BLOBS; ladder methodology analyze_csv_data.py:
+    # 100-115). LP-only - the runner skips QP instances for it.
+    mp_ls = pdhg_config(1e-4, time_limit)
+    exps["malitskypock_1e-4"] = (
+        dataclasses_replace(
+            mp_ls,
+            step_size_policy_params=MalitskyPockStepsizeParameters(
+                downscaling_factor=0.7,
+                breaking_factor=0.99,
+                interpolation_coefficient=1.0,
+            ),
+        ),
+        1e-4,
+        True,
+    )
     exps["highs_1e-8"] = (("external", "highs"), 1e-8, False)
     return exps
 
@@ -208,6 +227,44 @@ def solve_one(params, problem, presolve, instance_name, out_path):
     return output, wall
 
 
+def load_external_suite(instance_dir, instance_list=None):
+    """Loads a directory of *.mps(.gz) instances - the one-command path
+    from a Netlib/MIPLIB tarball dropped into the environment to the
+    full campaign protocol (reference benchmarking/README.md +
+    collect_netlib_benchmark.sh; instance lists benchmarking/
+    *_instance_list)."""
+    names = None
+    if instance_list:
+        with open(instance_list) as f:
+            names = [
+                ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            ]
+    suite = {}
+    candidates = sorted(os.listdir(instance_dir))
+    for fname in candidates:
+        base = fname
+        for suffix in (".mps.gz", ".mps", ".qps.gz", ".qps"):
+            if fname.endswith(suffix):
+                base = fname[: -len(suffix)]
+                break
+        else:
+            continue
+        if names is not None and base not in names:
+            continue
+        suite[base] = os.path.join(instance_dir, fname)
+    if names is not None:
+        missing = [nm for nm in names if nm not in suite]
+        if missing:
+            print(f"WARNING: {len(missing)} listed instances not found: "
+                  f"{missing[:5]}...", flush=True)
+
+    def lazy(path):
+        return lambda: folp.qps_reader_to_standard_form(path)
+
+    return {name: lazy(path) for name, path in suite.items()}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=os.path.join(
@@ -215,19 +272,32 @@ def main():
     p.add_argument("--time_limit", type=float, default=600.0)
     p.add_argument("--only", default=None,
                    help="comma-separated experiment labels to run")
+    p.add_argument("--instance_dir", default=None,
+                   help="run the campaign over external *.mps(.gz) "
+                        "instances instead of the synthetic suite")
+    p.add_argument("--instance_list", default=None,
+                   help="optional instance-name list file filtering "
+                        "--instance_dir (reference *_instance_list "
+                        "format: one name per line, # comments)")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     inst_dir = os.path.join(args.out, "instances")
     os.makedirs(inst_dir, exist_ok=True)
-    suite = synthetic_suite.build_suite(seed=0)
-    # persist the corpus for reproducibility / external baselines
-    from firstorderlp_tpu.io.mps_writer import write_mps
+    if args.instance_dir:
+        lazy_suite = load_external_suite(
+            args.instance_dir, args.instance_list
+        )
+        suite = {name: load() for name, load in lazy_suite.items()}
+    else:
+        suite = synthetic_suite.build_suite(seed=0)
+        # persist the corpus for reproducibility / external baselines
+        from firstorderlp_tpu.io.mps_writer import write_mps
 
-    for name, prob in suite.items():
-        path = os.path.join(inst_dir, f"{name}.mps.gz")
-        if not os.path.exists(path):
-            write_mps(prob, path)
+        for name, prob in suite.items():
+            path = os.path.join(inst_dir, f"{name}.mps.gz")
+            if not os.path.exists(path):
+                write_mps(prob, path)
 
     exps = build_experiments(args.time_limit)
     if args.only:
@@ -247,16 +317,33 @@ def main():
             out_path = os.path.join(logs_dir, f"{name}_summary.json")
             if os.path.exists(out_path):
                 continue
+            is_qp = problem.objective_matrix.nnz > 0
+            if is_qp and (
+                label.startswith("malitskypock")
+                or (isinstance(params, tuple) and params[0] == "external")
+            ):
+                # Malitsky-Pock linesearch and the external LP driver
+                # are LP-only (reference pdhg.jl:560-565,
+                # solve_lp_external.jl:46-49).
+                continue
             t0 = time.time()
             if isinstance(params, tuple) and params[0] == "external":
+                mps_path = os.path.join(inst_dir, f"{name}.mps.gz")
+                if args.instance_dir and not os.path.exists(mps_path):
+                    for suffix in (".mps.gz", ".mps", ".qps.gz", ".qps"):
+                        cand = os.path.join(
+                            args.instance_dir, f"{name}{suffix}"
+                        )
+                        if os.path.exists(cand):
+                            mps_path = cand
+                            break
                 rc = subprocess.run(
                     [
                         sys.executable,
                         os.path.join(REPO, "cli", "solve_lp_external.py"),
                         "--solver", params[1],
                         "--output_dir", logs_dir,
-                        "--instance_path",
-                        os.path.join(inst_dir, f"{name}.mps.gz"),
+                        "--instance_path", mps_path,
                         "--tolerance", str(tol),
                     ],
                     capture_output=True, text=True,

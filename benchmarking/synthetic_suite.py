@@ -32,6 +32,7 @@ from firstorderlp_tpu.generators import (  # noqa: E402
 )
 from firstorderlp_tpu.io.mps_writer import write_mps  # noqa: E402
 from firstorderlp_tpu.problem import (  # noqa: E402
+    QuadraticProgrammingProblem,
     linear_programming_problem,
 )
 
@@ -99,8 +100,67 @@ def box_qp_like_lp(n, seed):
     )
 
 
+def random_box_qp(n, m, seed, rank_frac=0.05, low_rank_scale=0.3):
+    """Convex box QP: diagonal-plus-low-rank PSD objective, box bounds,
+    random inequality rows feasible by construction. The reference's
+    example_qp/example_qp2 structure (test/shared_test_qp_problems.jl:
+    67-121) scaled up: those are 2-variable diagonal(+cross-term) QPs
+    with active box bounds at the optimum. low_rank_scale tunes the
+    cross-term conditioning (measured: 1.0 exceeds the 1e5 KKT-pass
+    budget at 1e-4; 0.3 solves in ~4k passes)."""
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(0.5, 2.0, n)
+    k = max(2, int(n * rank_frac))
+    low = (
+        sp.random(
+            n, k, density=min(1.0, 10.0 / n),
+            random_state=np.random.RandomState(seed + 1),
+            data_rvs=rng.standard_normal, format="csc",
+        )
+        * low_rank_scale
+    )
+    q = sp.csc_matrix(sp.diags(d) + low @ low.T)
+    a = sp.random(
+        m, n, density=0.05,
+        random_state=np.random.RandomState(seed + 2),
+        data_rvs=rng.standard_normal, format="csc",
+    )
+    x0 = rng.uniform(-0.5, 0.5, n)
+    b = np.asarray(a @ x0).ravel() - rng.uniform(0.1, 1.0, m)
+    return QuadraticProgrammingProblem(
+        variable_lower_bound=np.full(n, -1.0),
+        variable_upper_bound=np.full(n, 1.0),
+        objective_matrix=q,
+        objective_vector=rng.standard_normal(n),
+        objective_constant=0.0,
+        constraint_matrix=a,
+        right_hand_side=b,
+        num_equalities=0,
+    )
+
+
+def badly_scaled_lp(m, n, density, seed, decades=3):
+    """Random LP with row/column scales spread over 10^+-decades: the
+    rescaling rung of the ladder has to earn its keep (without Ruiz/PC
+    the step size collapses to the worst row)."""
+    base = random_sparse_lp(m, n, density, seed)
+    rng = np.random.default_rng(seed + 999)
+    row_scale = 10.0 ** rng.uniform(-decades, decades, m)
+    col_scale = 10.0 ** rng.uniform(-decades, decades, n)
+    a = sp.diags(row_scale) @ base.constraint_matrix @ sp.diags(col_scale)
+    return linear_programming_problem(
+        base.variable_lower_bound / col_scale,
+        base.variable_upper_bound / col_scale,
+        base.objective_vector * col_scale,
+        0.0,
+        sp.csc_matrix(a),
+        base.right_hand_side * row_scale,
+        base.num_equalities,
+    )
+
+
 def build_suite(seed=0):
-    """21 instances across 7 structural families - the in-repo
+    """28 instances across 11 structural families - the in-repo
     Netlib-stand-in corpus for the benchmark campaign (the reference's
     instance lists are not fetchable in a zero-egress environment)."""
     suite = {
@@ -152,6 +212,29 @@ def build_suite(seed=0):
             rhs,
             base.num_equalities,
         )
+    # convex box QPs (QP coverage - reference treats QP as first-class,
+    # src/quadratic_programming.jl:15-33)
+    suite["box_qp_small"] = random_box_qp(300, 100, seed + 50)
+    suite["box_qp_mid"] = random_box_qp(800, 300, seed + 51,
+                                        low_rank_scale=0.2)
+    suite["box_qp_rank"] = random_box_qp(500, 200, seed + 52,
+                                         rank_frac=0.15,
+                                         low_rank_scale=0.4)
+    # hard LPs: high-damping PageRank (slow mixing) and badly scaled
+    # rows/cols - these separate the ladder at 1e-4 (vanilla stalls,
+    # restarts/scaling rungs recover)
+    suite["pagerank_hard_3k"] = generate_pagerank_lp(
+        3000, damping_factor=0.999, seed=seed + 53
+    )
+    suite["pagerank_hard_5k"] = generate_pagerank_lp(
+        5000, damping_factor=0.998, seed=seed + 54
+    )
+    suite["badly_scaled_1"] = badly_scaled_lp(
+        400, 600, 0.02, seed + 55, decades=3
+    )
+    suite["badly_scaled_2"] = badly_scaled_lp(
+        900, 700, 0.01, seed + 56, decades=4
+    )
     # near-degenerate objective ties
     for i, n in enumerate((400, 700)):
         rng = np.random.default_rng(seed + 40 + i)
