@@ -187,7 +187,7 @@ def main():
     )
     from firstorderlp_tpu.generators import (
         generate_pagerank_lp,
-        generate_pagerank_lp_fleet,
+        pagerank_fleet_spec,
     )
     from firstorderlp_tpu.models.pdhg import optimize, prepare_problem
 
@@ -198,16 +198,20 @@ def main():
     t0 = time.time()
     if single:
         problems = [generate_pagerank_lp(num_nodes=num_nodes, seed=0)]
+        nnz = problems[0].constraint_matrix.nnz
     else:
-        problems = generate_pagerank_lp_fleet(
-            num_nodes,
-            np.linspace(0.7, 0.995, batch),
-            seed=0,
+        # Device-generated damping sweep: ships the base problem + B
+        # scalars (O(nnz + B) bytes) instead of expanded (nnz, B) value
+        # planes; the values are built on device by the FleetSpec
+        # generators (round-2 ingest shipped ~105 MB over the tunnel).
+        spec = pagerank_fleet_spec(
+            num_nodes, np.linspace(0.7, 0.995, batch), seed=0
         )
-    nnz = problems[0].constraint_matrix.nnz
+        nnz = spec.base_problem.constraint_matrix.nnz
     print(
-        f"# fleet: {len(problems)} x pagerank LP ({num_nodes} vars, "
-        f"{nnz} nnz) generated in {time.time()-t0:.1f}s",
+        f"# fleet: {1 if single else batch} x pagerank LP "
+        f"({num_nodes} vars, {nnz} nnz) generated in "
+        f"{time.time()-t0:.1f}s",
         file=sys.stderr,
     )
 
@@ -223,9 +227,9 @@ def main():
         print(f"# single ingest: {time.time()-t0:.1f}s", file=sys.stderr)
     if not single:
         t0 = time.time()
-        fleet = prepare_shared_pattern_fleet(params, problems)
+        fleet = prepare_shared_pattern_fleet(params, spec)
         print(
-            f"# fleet ingest (rescale + ELL + transfer): "
+            f"# fleet ingest (device build from base + thetas): "
             f"{time.time()-t0:.1f}s",
             file=sys.stderr,
         )
@@ -233,7 +237,7 @@ def main():
     def run():
         if single:
             return [optimize(params, problems[0], prepared=prepared)]
-        return solve_batch_shared_pattern(params, problems, fleet=fleet)
+        return solve_batch_shared_pattern(params, spec, fleet=fleet)
 
     t0 = time.time()
     run()

@@ -72,11 +72,18 @@ def _run_segment_batched(bundle, state, elapsed_time, config):
 
 def _batch_axis_for_leaf(leaf) -> "int | None":
     """Stacking/vmap rule: index/bool planes are shared (None), floating
-    arrays are per-instance minor-stacked (-1), scalars stack to (B,)."""
-    arr = np.asarray(leaf)
-    if arr.ndim == 0:
+    arrays are per-instance minor-stacked (-1), scalars stack to (B,).
+
+    Inspects .ndim/.dtype attributes only - np.asarray on a device-array
+    leaf would FETCH it over the (slow) host<->device link."""
+    ndim = getattr(leaf, "ndim", None)
+    dt = getattr(leaf, "dtype", None)
+    if ndim is None or dt is None:
+        arr = np.asarray(leaf)
+        ndim, dt = arr.ndim, arr.dtype
+    if ndim == 0:
         return 0
-    if np.issubdtype(arr.dtype, np.floating):
+    if jnp.issubdtype(dt, jnp.floating):
         return -1
     return None  # int32 cols / inv_perm / bool is_equality: shared
 
@@ -160,6 +167,49 @@ class SharedPatternFleet:
     initial_state: object
     axes_box: "_AxesBox"
     scaled_problems: list
+
+
+@dataclasses.dataclass
+class FleetSpec:
+    """A parameterized shared-pattern fleet generated ON DEVICE.
+
+    Scenario sweeps (damping factors, regularization paths, rhs
+    perturbations) are closed-form functions of a base problem plus one
+    scalar (or small vector) per lane - shipping the expanded (nnz, B)
+    value planes over the host->device link wastes O(nnz * B) bytes on
+    data the device can compute from O(nnz + B). A FleetSpec ships the
+    base problem once plus the per-lane parameter array; the generators
+    run under jit/vmap on device during prepare_shared_pattern_fleet.
+
+    Contract: every generated instance has the base problem's sparsity
+    pattern, shapes and num_equalities. `matrix_values(theta)` returns
+    the (nnz,) constraint-matrix values in the BASE problem's
+    canonical CSR entry order (scipy.sparse.csr_matrix(
+    base.constraint_matrix) after sum_duplicates()); vector generators
+    return the full vector for one lane. Omitted generators reuse the
+    base problem's data for every lane. All generators must be jittable
+    (they are vmapped over `thetas`), and must close over HOST (numpy)
+    constants, not device arrays - a captured device array is fetched
+    back to the host when the traced build embeds it as an MLIR
+    constant, which costs seconds-to-minutes on tunneled backends.
+
+    Reference semantics: N independent optimize() calls (the fleet is a
+    TPU-native construct; e.g. benchmarking/generate_pagerank_lp.jl
+    builds each instance from one graph + a damping scalar).
+    """
+
+    base_problem: QuadraticProgrammingProblem
+    thetas: np.ndarray  # (B,) or (B, k)
+    matrix_values: object  # theta -> (nnz,)
+    right_hand_side: object = None  # theta -> (m,)
+    objective_vector: object = None  # theta -> (n,)
+    variable_lower_bound: object = None  # theta -> (n,)
+    variable_upper_bound: object = None  # theta -> (n,)
+    objective_constant: object = None  # theta -> scalar
+
+    @property
+    def num_instances(self) -> int:
+        return int(np.asarray(self.thetas).shape[0])
 
 
 def _ell_value_positions(pattern: sp.csr_matrix):
@@ -318,6 +368,8 @@ def prepare_shared_pattern_fleet(
     one (nnz, B) transfer, rescaling + value-plane scatter on device);
     QPs and constant-step fleets fall back to the per-instance loop.
     """
+    if isinstance(problems, FleetSpec):
+        return _prepare_fleet_from_spec(params, problems)
     fast_ok = (
         len(problems) > 0
         and isinstance(
@@ -340,11 +392,11 @@ def _fast_bundle_axis(leaf):
     """vmap batch axis for a leaf of the device-built (pre-batched)
     bundle: float leaves with >=2 dims are minor-axis batched, (B,)
     float scalars are axis 0, integer/bool planes are shared. Mirrors
-    _batch_axis_for_leaf's rule on the unbatched template."""
-    arr = np.asarray(leaf)
-    if not np.issubdtype(arr.dtype, np.floating):
+    _batch_axis_for_leaf's rule on the unbatched template. Attribute
+    inspection only - np.asarray would fetch every device leaf."""
+    if not jnp.issubdtype(leaf.dtype, jnp.floating):
         return None
-    return 0 if arr.ndim == 1 else -1
+    return 0 if leaf.ndim == 1 else -1
 
 
 def _prepare_fleet_fast(
@@ -376,25 +428,16 @@ def _prepare_fleet_fast(
         ):
             raise _PatternMismatch()
 
-    # the ONLY O(B * nnz) host work: stack + one transfer
-    v_orig = jnp.asarray(
-        np.ascontiguousarray(
-            np.stack([a.data for a in mats], axis=1)
-        ).astype(np_dtype)
-    )  # (nnz, B)
-    rows = jnp.asarray(
-        np.repeat(
-            np.arange(m, dtype=np.int32), np.diff(pat.indptr)
-        )
-    )
-    cols = jnp.asarray(pat.indices.astype(np.int32))
+    # the ONLY O(B * nnz) host work: stack; the transfer happens once as
+    # jit arguments of the single-program device build.
+    v_orig = np.ascontiguousarray(
+        np.stack([a.data for a in mats], axis=1)
+    ).astype(np_dtype)  # (nnz, B)
 
     def stackT(get, dt=np_dtype):
-        return jnp.asarray(
-            np.stack([np.asarray(get(p)) for p in problems], axis=1).astype(
-                dt
-            )
-        )
+        return np.stack(
+            [np.asarray(get(p)) for p in problems], axis=1
+        ).astype(dt)
 
     vectors = {
         "c": stackT(lambda p: p.objective_vector),
@@ -402,118 +445,142 @@ def _prepare_fleet_fast(
         "lo": stackT(lambda p: p.variable_lower_bound),
         "hi": stackT(lambda p: p.variable_upper_bound),
     }
-    const = jnp.asarray(
-        np.array(
-            [float(p.objective_constant) for p in problems], np_dtype
-        )
+    const = np.array(
+        [float(p.objective_constant) for p in problems], np_dtype
     )
+    return _finish_fleet_fast(
+        params,
+        pat,
+        k_eq,
+        value_fn=lambda v, vecs, c: (v, vecs, c),
+        value_args=(v_orig, vectors, const),
+        originals=problems,
+    )
+
+
+def _prepare_fleet_from_spec(
+    params: _pdhg.PdhgParameters, spec: FleetSpec
+) -> SharedPatternFleet:
+    """Fast-path ingest for a device-generated fleet: ships the base
+    problem + thetas, vmaps the generators on device, then reuses the
+    shared device rescale/plane build."""
+    if not isinstance(
+        params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
+    ):
+        raise ValueError("FleetSpec fleets require the adaptive step rule")
+    base = spec.base_problem
+    validate(base)
+    if base.objective_matrix is not None and base.objective_matrix.nnz > 0:
+        raise ValueError("FleetSpec fleets are LP-only")
+    if spec.matrix_values is None:
+        raise ValueError("FleetSpec.matrix_values is required")
+    dtype = jnp.dtype(params.dtype)
+    np_dtype = np.dtype(dtype.name)
+    b = spec.num_instances
+    pat = sp.csr_matrix(base.constraint_matrix)
+    pat.sum_duplicates()
+    m, n = pat.shape
+    k_eq = base.num_equalities
+    thetas = np.asarray(spec.thetas)
+
+    def generate(th):
+        """Traced inside the single-program device build: the whole
+        lane generation is part of one compiled executable (eager
+        per-op dispatch over the tunneled backend measured minutes for
+        what is milliseconds of device work)."""
+
+        def lanes(gen, base_vec, dim):
+            if gen is None:
+                return jnp.broadcast_to(
+                    jnp.asarray(np.asarray(base_vec, np_dtype))[:, None],
+                    (dim, b),
+                )
+            out = jax.vmap(gen)(th)  # (B, dim)
+            if out.shape != (b, dim):
+                raise ValueError(
+                    f"generator returned {out.shape}, expected "
+                    f"({b}, {dim})"
+                )
+            return out.T.astype(np_dtype)
+
+        v_orig = lanes(spec.matrix_values, None, pat.nnz)  # (nnz, B)
+        vectors = {
+            "c": lanes(spec.objective_vector, base.objective_vector, n),
+            "b": lanes(spec.right_hand_side, base.right_hand_side, m),
+            "lo": lanes(
+                spec.variable_lower_bound, base.variable_lower_bound, n
+            ),
+            "hi": lanes(
+                spec.variable_upper_bound, base.variable_upper_bound, n
+            ),
+        }
+        if spec.objective_constant is None:
+            const = jnp.full(b, float(base.objective_constant), np_dtype)
+        else:
+            const = jax.vmap(spec.objective_constant)(th).astype(np_dtype)
+        return v_orig, vectors, const
+
+    return _finish_fleet_fast(
+        params,
+        pat,
+        k_eq,
+        value_fn=generate,
+        value_args=(thetas,),
+        originals=[base] * b,
+    )
+
+
+def _finish_fleet_fast(
+    params, pat, k_eq, value_fn, value_args, originals
+):
+    """Shared device-side fleet build, executed as ONE jitted program.
+
+    value_fn(*value_args) -> (v_orig (nnz, B), vectors dict, const (B,))
+    is traced inside the jit: host-stacked fleets pass their arrays
+    straight through (one transfer each as jit arguments); FleetSpec
+    fleets generate them on device from the per-lane thetas. A single
+    compile + dispatch replaces the former eager-op chain - on the
+    tunneled backend every eager op paid a compile/dispatch round trip
+    and the batched initial state shipped O(state * B) bytes of
+    host-built zeros (measured: 98 s warm ingest for the 128-lane
+    20k-node bench fleet, dominated by exactly those costs)."""
+    from .ops.device_problem import DeviceQp, DeviceQpCache, DeviceScaledQp
+    from .ops.linops import EllBucket, EllHalf, SparseOp
+    from .problem import ScaledQpProblem
+
+    dtype = jnp.dtype(params.dtype)
+    b = len(originals)
+    m, n = pat.shape
 
     id_op = _ell_value_positions(pat)
-    id_planes = {
-        half: [
-            jnp.asarray(
+    # numpy auxiliary index data, shipped once as jit arguments (not
+    # baked into the HLO as constants)
+    aux = {
+        "rows": np.repeat(
+            np.arange(m, dtype=np.int32), np.diff(pat.indptr)
+        ),
+        "cols": pat.indices.astype(np.int32),
+        "id_planes": {
+            half: [
                 np.asarray(bk.vals).astype(np.int32).reshape(-1)
-            )
-            for bk in getattr(id_op, half).buckets
-        ]
-        for half in ("fwd", "bwd")
+                for bk in getattr(id_op, half).buckets
+            ]
+            for half in ("fwd", "bwd")
+        },
+        "ell_cols": {
+            half: [
+                np.asarray(bk.cols)
+                for bk in getattr(id_op, half).buckets
+            ]
+            for half in ("fwd", "bwd")
+        },
+        "inv_perm": {
+            half: np.asarray(getattr(id_op, half).inv_perm)
+            for half in ("fwd", "bwd")
+        },
+        "is_equality": np.arange(m) < k_eq,
     }
 
-    (
-        scaled_planes,
-        orig_planes,
-        scaled_vectors,
-        cum_con,
-        cum_var,
-        step_size,
-        norm_c,
-        norm_b,
-    ) = _device_fleet_build(
-        v_orig,
-        rows,
-        cols,
-        vectors,
-        id_planes,
-        m,
-        n,
-        int(params.l_inf_ruiz_iterations),
-        bool(params.l2_norm_rescaling),
-        None
-        if params.pock_chambolle_alpha is None
-        else float(params.pock_chambolle_alpha),
-    )
-
-    is_equality = np.zeros(m, dtype=bool)
-    is_equality[:k_eq] = True
-
-    def build_op(planes):
-        def half(name):
-            h = getattr(id_op, name)
-            buckets = tuple(
-                EllBucket(
-                    cols=jnp.asarray(bk.cols),
-                    vals=plane.reshape(bk.cols.shape + (b,)),
-                )
-                for bk, plane in zip(h.buckets, planes[name])
-            )
-            return EllHalf(
-                buckets=buckets, inv_perm=jnp.asarray(h.inv_perm)
-            )
-
-        return SparseOp(
-            fwd=half("fwd"), bwd=half("bwd"), num_rows=m, num_cols=n
-        )
-
-    def device_qp(planes, cvec, rvec, lvec, uvec):
-        return DeviceQp(
-            variable_lower_bound=lvec,
-            variable_upper_bound=uvec,
-            objective_vector=cvec,
-            objective_constant=const,
-            right_hand_side=rvec,
-            is_equality=jnp.asarray(is_equality),
-            constraint_matrix=build_op(planes),
-            objective_matrix=None,
-        )
-
-    # qp-cache norms of the ORIGINAL c and b (termination.jl:140-158)
-    qp_cache = DeviceQpCache(
-        l_inf_norm_primal_linear_objective=jnp.max(
-            jnp.abs(vectors["c"]), axis=0
-        ),
-        l_inf_norm_primal_right_hand_side=jnp.max(
-            jnp.abs(vectors["b"]), axis=0
-        ),
-        l2_norm_primal_linear_objective=jnp.linalg.norm(
-            vectors["c"], axis=0
-        ),
-        l2_norm_primal_right_hand_side=jnp.linalg.norm(
-            vectors["b"], axis=0
-        ),
-    )
-    batched_bundle = DeviceScaledQp(
-        scaled=device_qp(
-            scaled_planes,
-            scaled_vectors["c"],
-            scaled_vectors["b"],
-            scaled_vectors["lo"],
-            scaled_vectors["hi"],
-        ),
-        original=device_qp(
-            orig_planes,
-            vectors["c"],
-            vectors["b"],
-            vectors["lo"],
-            vectors["hi"],
-        ),
-        constraint_rescaling=cum_con,
-        variable_rescaling=cum_var,
-        qp_cache=qp_cache,
-    )
-
-    # initial state: single-instance template (all vector leaves zeros)
-    # batched by the slow path's stacking rule, then per-instance step
-    # size (1/max|A_scaled|), primal weight and KKT counter.
     class _ShimScaled:
         num_variables = n
         num_constraints = m
@@ -521,37 +588,140 @@ def _prepare_fleet_fast(
     class _Shim:
         scaled = _ShimScaled()
 
-    state_template = _pdhg._initial_state(_Shim(), dtype)
+    def build(aux, value_args):
+        v_orig, vectors, const = value_fn(*value_args)
+        (
+            scaled_planes,
+            orig_planes,
+            scaled_vectors,
+            cum_con,
+            cum_var,
+            step_size,
+            norm_c,
+            norm_b,
+        ) = _device_fleet_build(
+            v_orig,
+            aux["rows"],
+            aux["cols"],
+            vectors,
+            aux["id_planes"],
+            m,
+            n,
+            int(params.l_inf_ruiz_iterations),
+            bool(params.l2_norm_rescaling),
+            None
+            if params.pock_chambolle_alpha is None
+            else float(params.pock_chambolle_alpha),
+        )
 
-    def batch_state_leaf(leaf):
-        arr = np.asarray(leaf)
-        axis = _batch_axis_for_leaf(arr)
-        if axis == 0:
-            return jnp.asarray(np.broadcast_to(arr, (b,)).copy())
-        if axis == -1:
-            return jnp.asarray(np.zeros(arr.shape + (b,), arr.dtype))
-        return jnp.asarray(arr)
+        def build_op(planes):
+            def half(name):
+                buckets = tuple(
+                    EllBucket(
+                        cols=cols_plane,
+                        vals=plane.reshape(cols_plane.shape + (b,)),
+                    )
+                    for cols_plane, plane in zip(
+                        aux["ell_cols"][name], planes[name]
+                    )
+                )
+                return EllHalf(
+                    buckets=buckets, inv_perm=aux["inv_perm"][name]
+                )
 
-    state = jax.tree_util.tree_map(batch_state_leaf, state_template)
-    if params.scale_invariant_initial_primal_weight:
-        primal_weight = jnp.where(
-            (norm_c > 0) & (norm_b > 0),
-            params.primal_importance
-            * norm_c
-            / jnp.where(norm_b > 0, norm_b, 1.0),
-            params.primal_importance,
-        ).astype(dtype)
-    else:
-        primal_weight = jnp.full(b, params.primal_importance, dtype)
-    state = dataclasses.replace(
-        state,
-        step_size=step_size.astype(dtype),
-        primal_weight=primal_weight,
-        cumulative_kkt_passes=jnp.full(b, 0.5, jnp.float64),
+            return SparseOp(
+                fwd=half("fwd"), bwd=half("bwd"), num_rows=m, num_cols=n
+            )
+
+        def device_qp(planes, cvec, rvec, lvec, uvec):
+            return DeviceQp(
+                variable_lower_bound=lvec,
+                variable_upper_bound=uvec,
+                objective_vector=cvec,
+                objective_constant=const,
+                right_hand_side=rvec,
+                is_equality=aux["is_equality"],
+                constraint_matrix=build_op(planes),
+                objective_matrix=None,
+            )
+
+        # qp-cache norms of the ORIGINAL c and b (termination.jl:140-158)
+        qp_cache = DeviceQpCache(
+            l_inf_norm_primal_linear_objective=jnp.max(
+                jnp.abs(vectors["c"]), axis=0
+            ),
+            l_inf_norm_primal_right_hand_side=jnp.max(
+                jnp.abs(vectors["b"]), axis=0
+            ),
+            l2_norm_primal_linear_objective=jnp.linalg.norm(
+                vectors["c"], axis=0
+            ),
+            l2_norm_primal_right_hand_side=jnp.linalg.norm(
+                vectors["b"], axis=0
+            ),
+        )
+        batched_bundle = DeviceScaledQp(
+            scaled=device_qp(
+                scaled_planes,
+                scaled_vectors["c"],
+                scaled_vectors["b"],
+                scaled_vectors["lo"],
+                scaled_vectors["hi"],
+            ),
+            original=device_qp(
+                orig_planes,
+                vectors["c"],
+                vectors["b"],
+                vectors["lo"],
+                vectors["hi"],
+            ),
+            constraint_rescaling=cum_con,
+            variable_rescaling=cum_var,
+            qp_cache=qp_cache,
+        )
+
+        # initial state: single-instance template (all vector leaves
+        # zeros) batched by the slow path's stacking rule, then
+        # per-instance step size (1/max|A_scaled|), primal weight and
+        # KKT counter.
+        state_template = _pdhg._initial_state(_Shim(), dtype)
+
+        def batch_state_leaf(leaf):
+            axis = _batch_axis_for_leaf(leaf)
+            if axis == 0:
+                return jnp.broadcast_to(leaf, (b,))
+            if axis == -1:
+                return jnp.broadcast_to(
+                    leaf[..., None], leaf.shape + (b,)
+                )
+            return leaf
+
+        state = jax.tree_util.tree_map(batch_state_leaf, state_template)
+        if params.scale_invariant_initial_primal_weight:
+            primal_weight = jnp.where(
+                (norm_c > 0) & (norm_b > 0),
+                params.primal_importance
+                * norm_c
+                / jnp.where(norm_b > 0, norm_b, 1.0),
+                params.primal_importance,
+            ).astype(dtype)
+        else:
+            primal_weight = jnp.full(b, params.primal_importance, dtype)
+        state = dataclasses.replace(
+            state,
+            step_size=step_size.astype(dtype),
+            primal_weight=primal_weight,
+            cumulative_kkt_passes=jnp.full(b, 0.5, jnp.float64),
+        )
+        return batched_bundle, state, cum_con, cum_var
+
+    batched_bundle, state, cum_con, cum_var = jax.jit(build)(
+        aux, value_args
     )
 
     single_state_axes = jax.tree_util.tree_map(
-        _batch_axis_for_leaf, state_template
+        _batch_axis_for_leaf,
+        jax.eval_shape(lambda: _pdhg._initial_state(_Shim(), dtype)),
     )
     single_bundle_axes = jax.tree_util.tree_map(
         _fast_bundle_axis, batched_bundle
@@ -561,10 +731,10 @@ def _prepare_fleet_fast(
     cum_con_h, cum_var_h = jax.device_get((cum_con, cum_var))
     scaled_problems = [
         ScaledQpProblem(
-            original_qp=problems[i],
+            original_qp=originals[i],
             # the scaled scipy copy is not materialized on the fast
             # path; only the rescaling vectors are used downstream.
-            scaled_qp=problems[i],
+            scaled_qp=originals[i],
             constraint_rescaling=cum_con_h[:, i].astype(np.float64),
             variable_rescaling=cum_var_h[:, i].astype(np.float64),
         )
@@ -676,7 +846,11 @@ def solve_batch_shared_pattern(
     patterns differ (use solve_batch for heterogeneous fleets). Pass a
     `fleet` from prepare_shared_pattern_fleet to skip ingest.
     """
-    if len(problems) == 0 and fleet is None:
+    if (
+        not isinstance(problems, FleetSpec)
+        and len(problems) == 0
+        and fleet is None
+    ):
         return []
     if fleet is None:
         fleet = prepare_shared_pattern_fleet(params, problems)

@@ -147,6 +147,87 @@ def generate_pagerank_lp_fleet(
     ]
 
 
+def pagerank_fleet_spec(
+    num_nodes: int,
+    damping_factors,
+    approx_num_edges: "int | None" = None,
+    seed: int = 0,
+):
+    """Device-generated PageRank damping sweep (a batch.FleetSpec).
+
+    The whole fleet is an affine function of the damping factor d:
+    A(d) = [sqrt(n) 1'; I - d S] and b(d) = [sqrt(n); (1-d)/n 1], so the
+    spec ships ONE base problem plus the (p, q) coefficient arrays with
+    A(d).data = p + d q - O(nnz) bytes total instead of the O(nnz * B)
+    expanded value planes (the host->device link is the fleet-ingest
+    bottleneck on tunneled backends; docs/performance.md).
+
+    Reference semantics: benchmarking/generate_pagerank_lp.jl:35-73 (the
+    per-instance constructor; the sweep/fleet is TPU-native new work).
+    """
+    import jax.numpy as jnp
+
+    from .batch import FleetSpec
+
+    damping = np.asarray(list(damping_factors), dtype=np.float64)
+    if damping.ndim != 1 or damping.size == 0:
+        raise ValueError("damping_factors must be a nonempty 1-D list")
+    if np.any(damping == 0.0):
+        raise ValueError(
+            "damping factor 0 changes the sparsity pattern (I - d S "
+            "loses the S entries); use generate_pagerank_lp_fleet"
+        )
+    if approx_num_edges is None:
+        approx_num_edges = 3 * num_nodes
+    degree = max(1, round(approx_num_edges / num_nodes))
+    adjacency = barabasi_albert_graph(num_nodes, degree, seed)
+
+    def instance(d):
+        return generate_pagerank_lp(
+            num_nodes=num_nodes,
+            approx_num_edges=approx_num_edges,
+            damping_factor=float(d),
+            seed=seed,
+            _adjacency=adjacency,
+        )
+
+    # Two instances from the identical constructor share the CSR entry
+    # order, so the per-entry affine coefficients solve exactly.
+    d1, d2 = 0.5, 0.75
+    base = instance(float(damping[0]))
+    a1 = sp.csr_matrix(instance(d1).constraint_matrix)
+    a1.sum_duplicates()
+    a2 = sp.csr_matrix(instance(d2).constraint_matrix)
+    a2.sum_duplicates()
+    q = (a2.data - a1.data) / (d2 - d1)
+    p = a1.data - d1 * q
+    n = num_nodes
+    rhs_p = np.concatenate([[np.sqrt(n)], np.full(n, 1.0 / n)])
+    rhs_q = np.concatenate([[0.0], np.full(n, -1.0 / n)])
+
+    # Generators must close over HOST (numpy) arrays: a captured DEVICE
+    # array is fetched back over the host<->device link when the traced
+    # program embeds it as an MLIR constant (measured 15-350 s for these
+    # four arrays on the tunneled backend; numpy constants embed
+    # directly).
+    p32 = p.astype(np.float32)
+    q32 = q.astype(np.float32)
+    rhs_p32 = rhs_p.astype(np.float32)
+    rhs_q32 = rhs_q.astype(np.float32)
+
+    return FleetSpec(
+        base_problem=base,
+        thetas=damping,
+        matrix_values=lambda d: (
+            jnp.asarray(p32) + d.astype(jnp.float32) * jnp.asarray(q32)
+        ),
+        right_hand_side=lambda d: (
+            jnp.asarray(rhs_p32)
+            + d.astype(jnp.float32) * jnp.asarray(rhs_q32)
+        ),
+    )
+
+
 @dataclasses.dataclass
 class SvmTrainingData:
     feature_matrix: sp.csc_matrix  # (n_samples, n_features)
