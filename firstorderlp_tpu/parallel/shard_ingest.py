@@ -1,0 +1,1037 @@
+"""Host-sharded ingest: each process builds only its row shard.
+
+The other ingest paths (models.pdhg.prepare_problem, parallel.sharded)
+materialize the FULL problem on every host before sharding it onto the
+mesh. For the 1e6-1e8-nnz instances the multi-host build targets, that
+per-host full-problem ingest is both the wall-clock bottleneck and the
+host-memory ceiling. This module is the SURVEY section 2 mandated
+"host-sharded MPS ingest -> padded layouts" row: every process
+parses/builds ONLY the row blocks owned by its local devices, the
+global arrays are assembled shard-by-shard (jax.make_array_from_
+callback - no host ever holds the full matrix), and Ruiz/L2/
+Pock-Chambolle rescaling runs ON DEVICE under shard_map with psum/pmax
+for the cross-block column norms.
+
+Reference semantics reproduced: qps_reader_to_standard_form
+(/root/reference/src/quadratic_programming_io.jl:147-197 - row typing,
+sign flips, equalities-first permutation) and rescale_problem
+(/root/reference/src/preprocess.jl:631-687). The reference itself is
+single-process Julia; the sharded construction is TPU-native new work.
+
+Scope (v1): LP only, rows partitioned over the mesh's 'dual' axis
+(n_primal must be 1 - the 2-D block-partitioned COMPUTE path is
+ops/routed_sharded.py; this module removes the per-host ingest
+bottleneck), adaptive step-size rule, no RANGES/two-sided rows (run
+those through io.standard_form first).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.mps import MpsParseError, _fixed_fields, _lines
+from ..ops.linops import EllBucket, EllHalf
+
+
+# ---------------------------------------------------------------------------
+# Problem spec: global metadata + a per-row-range loader
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RowShardSpec:
+    """A problem described by O(m + n) metadata plus a row-range loader.
+
+    `row_loader(lo, hi)` returns the COO triplet of rows [lo, hi) in
+    STANDARD FORM row order (equalities first) as
+    (rows_global, cols, vals) int64/int64/float64 arrays - it is called
+    once per locally-owned row block and must not materialize rows
+    outside the range (that is the whole point).
+    """
+
+    num_constraints: int
+    num_variables: int
+    num_equalities: int
+    objective_vector: np.ndarray  # (n,)
+    objective_constant: float
+    variable_lower_bound: np.ndarray  # (n,)
+    variable_upper_bound: np.ndarray  # (n,)
+    right_hand_side: np.ndarray  # (m,) standard-form order
+    row_loader: Callable[[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]]
+
+
+def mps_row_shard_spec(filename: str, fixed_format: bool = False) -> RowShardSpec:
+    """Streaming row-sharded reader for one-sided MPS files.
+
+    Pass 1 (here) builds only O(m + n) metadata: row names/types, column
+    order, c, bounds, rhs - the COLUMNS matrix entries are NOT stored.
+    The returned spec's row_loader re-scans the COLUMNS section keeping
+    only entries whose standard-form row index falls in [lo, hi), so a
+    process ingesting 1/P of the rows holds 1/P of the nonzeros.
+
+    Standard-form conventions mirror io.standard_form.transform_to_
+    standard_form (reference quadratic_programming_io.jl:34-87): L rows
+    are sign-flipped to >=, equalities are permuted first (stable).
+    RANGES (two-sided rows, which add slack columns) and quadratic
+    sections are rejected - convert those instances through
+    qps_reader_to_standard_form + io.mps_writer first.
+    """
+    obj_row: Optional[str] = None
+    row_types: dict = {}
+    row_order: list = []
+    col_index: dict = {}
+    c_entries: dict = {}
+    rhs: dict = {}
+    obj_rhs = 0.0
+    bounds: list = []
+    section = None
+
+    for line in _lines(filename):
+        if not line[0].isspace():
+            head = line.split()[0].upper()
+            if head == "ENDATA":
+                break
+            if head in ("RANGES",):
+                # peek: any data line in RANGES is a two-sided row
+                section = "RANGES"
+                continue
+            if head in ("QUADOBJ", "QMATRIX", "QSECTION"):
+                raise MpsParseError(
+                    "mps_row_shard_spec is LP-only; use "
+                    "qps_reader_to_standard_form for QPs"
+                )
+            section = head
+            continue
+        fields = _fixed_fields(line) if fixed_format else line.split()
+        if section == "RANGES":
+            raise MpsParseError(
+                "mps_row_shard_spec does not support RANGES (two-sided "
+                "rows add slack columns); convert through "
+                "qps_reader_to_standard_form + io.mps_writer first"
+            )
+        if section == "ROWS":
+            rtype = fields[0].upper()
+            rname = fields[1]
+            if rtype == "N":
+                if obj_row is None:
+                    obj_row = rname
+                continue
+            if rtype not in ("E", "L", "G"):
+                raise MpsParseError(f"Unknown row type {rtype!r}")
+            if rname in row_types:
+                raise MpsParseError(f"Duplicate row name {rname!r}")
+            row_types[rname] = rtype
+            row_order.append(rname)
+        elif section == "COLUMNS":
+            if "'MARKER'" in fields:
+                continue
+            colname = fields[0]
+            if colname not in col_index:
+                col_index[colname] = len(col_index)
+            col = col_index[colname]
+            pairs = fields[1:]
+            for i in range(0, len(pairs), 2):
+                if pairs[i] == obj_row:
+                    c_entries[col] = c_entries.get(col, 0.0) + float(
+                        pairs[i + 1]
+                    )
+                # matrix entries are intentionally NOT stored here
+        elif section == "RHS":
+            pairs = fields[1:]
+            for i in range(0, len(pairs), 2):
+                rname, sval = pairs[i], pairs[i + 1]
+                if rname == obj_row:
+                    obj_rhs = float(sval)
+                elif rname in row_types:
+                    rhs[rname] = float(sval)
+                else:
+                    raise MpsParseError(f"Unknown row {rname!r} in RHS")
+        elif section == "BOUNDS":
+            btype = fields[0].upper()
+            if btype in ("FR", "MI", "PL", "BV"):
+                bounds.append((btype, fields[2], None))
+            else:
+                bounds.append((btype, fields[2], float(fields[3])))
+        elif section in ("NAME", "OBJSENSE"):
+            continue
+
+    m = len(row_order)
+    n = len(col_index)
+
+    # standard-form row index: equalities first, both classes stable
+    # (mirrors transform_to_standard_form's new_row_to_old)
+    std_index = {}
+    eq_count = 0
+    for rname in row_order:
+        if row_types[rname] == "E":
+            std_index[rname] = eq_count
+            eq_count += 1
+    ineq_pos = eq_count
+    for rname in row_order:
+        if row_types[rname] != "E":
+            std_index[rname] = ineq_pos
+            ineq_pos += 1
+
+    sign = {
+        rname: (-1.0 if row_types[rname] == "L" else 1.0)
+        for rname in row_order
+    }
+    b = np.zeros(m)
+    for rname in row_order:
+        b[std_index[rname]] = sign[rname] * rhs.get(rname, 0.0)
+
+    c = np.zeros(n)
+    for col, val in c_entries.items():
+        c[col] = val
+    lvar = np.zeros(n)
+    uvar = np.full(n, np.inf)
+    lower_set = np.zeros(n, dtype=bool)
+    for btype, colname, value in bounds:
+        if colname not in col_index:
+            raise MpsParseError(f"Unknown column {colname!r} in BOUNDS")
+        j = col_index[colname]
+        if btype in ("LO", "LI"):
+            lvar[j] = value
+            lower_set[j] = True
+        elif btype in ("UP", "UI"):
+            uvar[j] = value
+            if value < 0 and not lower_set[j]:
+                lvar[j] = -np.inf
+        elif btype == "FX":
+            lvar[j] = value
+            uvar[j] = value
+            lower_set[j] = True
+        elif btype == "FR":
+            lvar[j], uvar[j] = -np.inf, np.inf
+        elif btype == "MI":
+            lvar[j] = -np.inf
+            lower_set[j] = True
+        elif btype == "PL":
+            uvar[j] = np.inf
+        elif btype == "BV":
+            lvar[j], uvar[j] = 0.0, 1.0
+            lower_set[j] = True
+        else:
+            raise MpsParseError(f"Unknown bound type {btype!r}")
+
+    def row_loader(lo: int, hi: int):
+        rows_l, cols_l, vals_l = [], [], []
+        sec = None
+        for line in _lines(filename):
+            if not line[0].isspace():
+                head = line.split()[0].upper()
+                if head == "ENDATA" or (
+                    sec == "COLUMNS" and head != "COLUMNS"
+                ):
+                    break
+                sec = head
+                continue
+            if sec != "COLUMNS":
+                continue
+            fields = _fixed_fields(line) if fixed_format else line.split()
+            if "'MARKER'" in fields:
+                continue
+            col = col_index[fields[0]]
+            pairs = fields[1:]
+            for i in range(0, len(pairs), 2):
+                rname = pairs[i]
+                if rname == obj_row:
+                    continue
+                r = std_index[rname]
+                if lo <= r < hi:
+                    rows_l.append(r)
+                    cols_l.append(col)
+                    vals_l.append(sign[rname] * float(pairs[i + 1]))
+        return (
+            np.asarray(rows_l, dtype=np.int64),
+            np.asarray(cols_l, dtype=np.int64),
+            np.asarray(vals_l, dtype=np.float64),
+        )
+
+    return RowShardSpec(
+        num_constraints=m,
+        num_variables=n,
+        num_equalities=eq_count,
+        objective_vector=c,
+        objective_constant=-obj_rhs,
+        variable_lower_bound=lvar,
+        variable_upper_bound=uvar,
+        right_hand_side=b,
+        row_loader=row_loader,
+    )
+
+
+def problem_row_shard_spec(problem) -> RowShardSpec:
+    """RowShardSpec over an in-memory standard-form problem (generator
+    output). The loader slices a CSR copy per block - memory is NOT
+    reduced (use mps_row_shard_spec or a custom loader for that); this
+    adapter exists for tests and for generator fleets where each process
+    generates its own rows."""
+    csr = sp.csr_matrix(problem.constraint_matrix)
+    csr.sum_duplicates()
+
+    def row_loader(lo, hi):
+        block = csr[lo:hi].tocoo()
+        return (
+            block.row.astype(np.int64) + lo,
+            block.col.astype(np.int64),
+            block.data.astype(np.float64),
+        )
+
+    return RowShardSpec(
+        num_constraints=problem.num_constraints,
+        num_variables=problem.num_variables,
+        num_equalities=problem.num_equalities,
+        objective_vector=np.asarray(problem.objective_vector, np.float64),
+        objective_constant=float(problem.objective_constant),
+        variable_lower_bound=np.asarray(
+            problem.variable_lower_bound, np.float64
+        ),
+        variable_upper_bound=np.asarray(
+            problem.variable_upper_bound, np.float64
+        ),
+        right_hand_side=np.asarray(problem.right_hand_side, np.float64),
+        row_loader=row_loader,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-geometry bucketed ELL (identical bucket shapes across blocks)
+# ---------------------------------------------------------------------------
+
+
+def _widths_for(max_nnz: int):
+    widths = []
+    k = 1
+    while k < max(max_nnz, 1):
+        widths.append(k)
+        k *= 2
+    widths.append(max(k, 1))
+    return widths
+
+
+def _ell_planes_fixed(ids_csr: sp.csr_matrix, widths, caps):
+    """Bucketed-ELL planes of a matrix whose data carries (entry id + 1),
+    with EXPLICIT bucket geometry so independently-built blocks stack.
+
+    Returns (id_planes, col_planes, inv_perm): per kept bucket a
+    (caps[b], width) int32 plane of entry ids (0 = padding slot) and of
+    column indices; inv_perm maps output row -> its concat position
+    (padded capacity rows are never referenced). Mirrors
+    ops.linops._build_ell_half's layout."""
+    m = ids_csr.shape[0]
+    row_nnz = np.diff(ids_csr.indptr)
+    if m > 0 and row_nnz.max(initial=0) > widths[-1]:
+        raise ValueError("row nnz exceeds the agreed global max")
+    bucket_of_row = np.searchsorted(widths, np.maximum(row_nnz, 1))
+    row_of_entry = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
+    offset_of_entry = np.arange(ids_csr.nnz, dtype=np.int64) - np.repeat(
+        ids_csr.indptr[:-1].astype(np.int64), row_nnz
+    )
+    entry_bucket = (
+        bucket_of_row[row_of_entry] if ids_csr.nnz > 0 else row_of_entry
+    )
+
+    id_planes, col_planes = [], []
+    inv_perm = np.zeros(m, dtype=np.int32)
+    offset = 0
+    for bi, width in enumerate(widths):
+        cap = int(caps[bi])
+        if cap == 0:
+            continue
+        rows_b = np.flatnonzero(bucket_of_row == bi)
+        if len(rows_b) > cap:
+            raise ValueError("bucket row count exceeds the agreed cap")
+        pos_of_row = np.zeros(m, dtype=np.int64)
+        pos_of_row[rows_b] = np.arange(len(rows_b))
+        idp = np.zeros((cap, width), dtype=np.int32)
+        colp = np.zeros((cap, width), dtype=np.int32)
+        emask = entry_bucket == bi
+        r = row_of_entry[emask]
+        idp[pos_of_row[r], offset_of_entry[emask]] = ids_csr.data[
+            emask
+        ].astype(np.int32)
+        colp[pos_of_row[r], offset_of_entry[emask]] = ids_csr.indices[
+            emask
+        ].astype(np.int32)
+        id_planes.append(idp)
+        col_planes.append(colp)
+        inv_perm[rows_b] = (
+            offset + np.arange(len(rows_b), dtype=np.int64)
+        ).astype(np.int32)
+        offset += cap
+    if not id_planes:
+        id_planes = [np.zeros((max(m, 1), 1), dtype=np.int32)]
+        col_planes = [np.zeros((max(m, 1), 1), dtype=np.int32)]
+        inv_perm = np.arange(m, dtype=np.int32)
+    return id_planes, col_planes, inv_perm
+
+
+# ---------------------------------------------------------------------------
+# Row-block ELL operator (shard_map over the 'dual' axis)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowBlockEllOp:
+    """Row-block-partitioned bucketed-ELL operator: device d holds the
+    complete ELL of its (m/D, n) block, built WITHOUT any host ever
+    seeing the full matrix. Drop-in LinOp (mv / rmv / shape).
+
+    mv : x replicated -> per-block ELL matvec -> y P('dual').
+    rmv: y P('dual') -> per-block transpose-ELL matvec -> psum over
+         'dual' -> A'y replicated. (The 2-D-partitioned compute layout
+         is ops/routed_sharded.py; this op exists for the host-sharded
+         ingest path, SURVEY section 2 last mandated row.)
+
+    Array leaves carry a leading (D,) block axis sharded P('dual').
+    """
+
+    fwd: EllHalf  # block ELLs of A_d: leaves (D, ...), inv_perm (D, m_b)
+    bwd: EllHalf  # block ELLs of A_d': leaves (D, ...), inv_perm (D, n)
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    mesh: Mesh = dataclasses.field(default=None, metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_cols)
+
+    @staticmethod
+    def _local_half(half: EllHalf) -> EllHalf:
+        return EllHalf(
+            buckets=tuple(
+                EllBucket(cols=b.cols[0], vals=b.vals[0])
+                for b in half.buckets
+            ),
+            inv_perm=half.inv_perm[0],
+        )
+
+    def _half_specs(self, half: EllHalf):
+        return jax.tree_util.tree_map(
+            lambda leaf: P("dual", *([None] * (leaf.ndim - 1))), half
+        )
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        def body(fwd, xl):
+            return self._local_half(fwd).mv(xl)
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(self._half_specs(self.fwd), P()),
+            out_specs=P("dual"),
+            check_vma=False,
+        )(self.fwd, x)
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        def body(bwd, yl):
+            return jax.lax.psum(self._local_half(bwd).mv(yl), "dual")
+
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(self._half_specs(self.bwd), P("dual")),
+            out_specs=P(),
+            check_vma=False,
+        )(self.bwd, y)
+
+
+# ---------------------------------------------------------------------------
+# Device-side sharded rescale + plane build (one jitted program)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "m_b",
+        "n",
+        "ruiz_iterations",
+        "l2_flag",
+        "pc_alpha",
+    ),
+)
+def _sharded_rescale_build(
+    vals,  # (D, nnz_b) solve dtype, zero-padded local COO values
+    rows_loc,  # (D, nnz_b) int32 block-LOCAL row ids (pads -> 0)
+    cols,  # (D, nnz_b) int32 global col ids (pads -> 0)
+    fwd_ids,  # tuple of (D, cap, k) int32 entry ids + 1 (0 = pad slot)
+    bwd_ids,  # ditto for the block transpose
+    b_blk,  # (D, m_b)
+    c_vec,  # (n,) replicated
+    lo_vec,
+    hi_vec,
+    mesh,
+    m_b,
+    n,
+    ruiz_iterations,
+    l2_flag,
+    pc_alpha,
+):
+    """Ruiz/L2/Pock-Chambolle on the row-sharded COO + ELL value-plane
+    scatter, all under one shard_map: row norms are block-local segment
+    reductions, column norms psum/pmax over 'dual'. Reproduces
+    rescale_problem's composition (preprocess.py:191-245; reference
+    preprocess.jl:626-687) in the value dtype."""
+
+    def body(vals, rows_loc, cols, fwd_ids, bwd_ids, b_blk):
+        v = vals[0]
+        rl = rows_loc[0]
+        cg = cols[0]
+        dt = v.dtype
+        one = jnp.ones((), dt)
+        cum_con = jnp.ones((m_b,), dt)
+        cum_var = jnp.ones((n,), dt)
+        v_orig = v
+
+        def fix(s):
+            return jnp.where(s > 0, s, one)
+
+        def seg_max(x, ids, num):
+            return jax.ops.segment_max(x, ids, num)
+
+        def seg_sum(x, ids, num):
+            return jax.ops.segment_sum(x, ids, num)
+
+        for _ in range(ruiz_iterations):
+            con = fix(jnp.sqrt(seg_max(jnp.abs(v), rl, m_b)))
+            var = fix(
+                jnp.sqrt(
+                    jax.lax.pmax(seg_max(jnp.abs(v), cg, n), "dual")
+                )
+            )
+            v = v / con[rl] / var[cg]
+            cum_con = cum_con * con
+            cum_var = cum_var * var
+
+        if l2_flag:
+            con = fix(jnp.sqrt(jnp.sqrt(seg_sum(v * v, rl, m_b))))
+            var = fix(
+                jnp.sqrt(
+                    jnp.sqrt(
+                        jax.lax.psum(seg_sum(v * v, cg, n), "dual")
+                    )
+                )
+            )
+            v = v / con[rl] / var[cg]
+            cum_con = cum_con * con
+            cum_var = cum_var * var
+
+        if pc_alpha is not None:
+            absv = jnp.abs(v)
+            var = fix(
+                jnp.sqrt(
+                    jax.lax.psum(
+                        seg_sum(absv ** (2.0 - pc_alpha), cg, n), "dual"
+                    )
+                )
+            )
+            con = fix(jnp.sqrt(seg_sum(absv**pc_alpha, rl, m_b)))
+            v = v / con[rl] / var[cg]
+            cum_con = cum_con * con
+            cum_var = cum_var * var
+
+        def planes(values, ids_list):
+            out = []
+            for ids in ids_list:
+                idl = ids[0]
+                gathered = values[jnp.maximum(idl - 1, 0)]
+                out.append(jnp.where(idl > 0, gathered, 0.0)[None])
+            return tuple(out)
+
+        scaled_fwd = planes(v, fwd_ids)
+        scaled_bwd = planes(v, bwd_ids)
+        orig_fwd = planes(v_orig, fwd_ids)
+        orig_bwd = planes(v_orig, bwd_ids)
+
+        b_scaled = b_blk[0] / cum_con
+        c_scaled = c_vec / cum_var
+        lo_scaled = lo_vec * cum_var
+        hi_scaled = hi_vec * cum_var
+
+        inf_norm = jax.lax.pmax(jnp.max(jnp.abs(v)), "dual")
+        step_size = jnp.where(inf_norm > 0, 1.0 / inf_norm, 1.0)
+        norm_c = jnp.linalg.norm(c_scaled)
+        norm_b = jnp.sqrt(
+            jax.lax.psum(jnp.sum(b_scaled * b_scaled), "dual")
+        )
+        # qp-cache norms of the ORIGINAL c and b (termination.jl:140-158)
+        linf_b = jax.lax.pmax(
+            jnp.max(jnp.abs(b_blk[0]), initial=0.0), "dual"
+        )
+        l2_b = jnp.sqrt(
+            jax.lax.psum(jnp.sum(b_blk[0] * b_blk[0]), "dual")
+        )
+        return (
+            scaled_fwd,
+            scaled_bwd,
+            orig_fwd,
+            orig_bwd,
+            b_scaled[None],
+            c_scaled,
+            lo_scaled,
+            hi_scaled,
+            cum_con[None],
+            cum_var,
+            step_size,
+            norm_c,
+            norm_b,
+            linf_b,
+            l2_b,
+        )
+
+    blk = lambda leaf_ndim: P("dual", *([None] * (leaf_ndim - 1)))
+    plane_specs = lambda ids: tuple(blk(3) for _ in ids)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            blk(2),
+            blk(2),
+            blk(2),
+            plane_specs(fwd_ids),
+            plane_specs(bwd_ids),
+            blk(2),
+        ),
+        out_specs=(
+            plane_specs(fwd_ids),
+            plane_specs(bwd_ids),
+            plane_specs(fwd_ids),
+            plane_specs(bwd_ids),
+            P("dual", None),
+            P(),
+            P(),
+            P(),
+            P("dual", None),
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        check_vma=False,
+    )(vals, rows_loc, cols, fwd_ids, bwd_ids, b_blk)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def _allmax_int(vec: np.ndarray) -> np.ndarray:
+    """Element-wise max of an int vector across processes (identity in
+    single-process runs). Host metadata exchange for the shared block
+    geometry - O(#buckets) ints, not problem data."""
+    if jax.process_count() == 1:
+        return vec
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(vec)
+    return np.max(np.asarray(gathered), axis=0)
+
+
+def _global_array(mesh, spec, shape, dtype, block_fn):
+    """Assemble a global array from per-block host data: block_fn(d) is
+    only called for blocks owned by this process's devices."""
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(index):
+        if spec and spec[0] == "dual":
+            d = index[0].start or 0
+            block = block_fn(d)
+            return np.asarray(block, dtype)
+        return np.asarray(block_fn(None), dtype)[index]
+
+    return jax.make_array_from_callback(shape, sharding, cb)
+
+
+def host_sharded_optimize(params, spec: RowShardSpec, mesh: Mesh):
+    """Multi-host solve with host-sharded ingest: process-local row
+    blocks -> global mesh arrays -> on-device sharded rescale -> PDHG.
+
+    Every process calls this with the same spec/params (SPMD); only the
+    row blocks owned by its local devices are loaded and built.
+    """
+    from ..models import pdhg as _pdhg
+    from ..ops.device_problem import DeviceQp, DeviceQpCache, DeviceScaledQp
+    from ..problem import ScaledQpProblem
+    from ..saddle_point import fetch_global
+
+    if mesh.shape.get("primal", 1) != 1:
+        raise ValueError(
+            "host-sharded ingest partitions rows only; use a mesh with "
+            "n_primal == 1 (2-D compute partitioning is "
+            "parallel.sharded_optimize)"
+        )
+    if not isinstance(
+        params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
+    ):
+        raise ValueError(
+            "host-sharded ingest requires the adaptive step rule"
+        )
+    if params.checkpoint_path or params.resume_from_checkpoint:
+        raise ValueError(
+            "checkpointing is not supported with host-sharded ingest"
+        )
+    if params.verbosity >= 7:
+        raise ValueError(
+            "verbosity >= 7 requires the full problem on every host"
+        )
+
+    dtype = jnp.dtype(params.dtype)
+    np_dtype = np.dtype(dtype.name)
+    m, n = spec.num_constraints, spec.num_variables
+    d_blocks = mesh.shape["dual"]
+    m_b = -(-m // d_blocks)
+    m_pad = m_b * d_blocks
+
+    # which blocks live on this process's devices
+    dev_grid = mesh.devices.reshape(d_blocks, -1)
+    pid = jax.process_index()
+    local_blocks = [
+        d
+        for d in range(d_blocks)
+        if any(dev.process_index == pid for dev in dev_grid[d])
+    ]
+
+    # ---- host: load local blocks, agree on shared ELL geometry ----
+    blocks = {}
+    local_stats = np.zeros(3, dtype=np.int64)  # max row/col nnz, max nnz
+    for d in local_blocks:
+        lo, hi = d * m_b, min((d + 1) * m_b, m)
+        rows_g, cols_g, vals = (
+            spec.row_loader(lo, hi)
+            if lo < m
+            else (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.float64),
+            )
+        )
+        csr = sp.csr_matrix(
+            (vals, (rows_g - lo, cols_g)), shape=(m_b, n)
+        )
+        csr.sum_duplicates()
+        blocks[d] = csr
+        row_nnz = np.diff(csr.indptr)
+        col_nnz = np.bincount(csr.indices, minlength=n) if csr.nnz else (
+            np.zeros(n, np.int64)
+        )
+        local_stats = np.maximum(
+            local_stats,
+            [
+                int(row_nnz.max(initial=0)),
+                int(col_nnz.max(initial=0)),
+                csr.nnz,
+            ],
+        )
+    max_row_nnz, max_col_nnz, nnz_b = (
+        int(x) for x in _allmax_int(local_stats)
+    )
+    nnz_b = max(nnz_b, 1)
+    widths_f = _widths_for(max_row_nnz)
+    widths_b = _widths_for(max_col_nnz)
+
+    def bucket_counts(csr_like, widths):
+        row_nnz = np.diff(csr_like.indptr)
+        bucket = np.searchsorted(widths, np.maximum(row_nnz, 1))
+        return np.bincount(bucket, minlength=len(widths))
+
+    local_caps = np.zeros(len(widths_f) + len(widths_b), dtype=np.int64)
+    blocks_t = {}
+    for d, csr in blocks.items():
+        ids = sp.csr_matrix(
+            (
+                np.arange(1, csr.nnz + 1, dtype=np.int64),
+                csr.indices.copy(),
+                csr.indptr.copy(),
+            ),
+            shape=csr.shape,
+        )
+        ids_t = sp.csr_matrix(ids.T)
+        ids_t.sort_indices()
+        blocks_t[d] = (ids, ids_t)
+        local_caps = np.maximum(
+            local_caps,
+            np.concatenate(
+                [
+                    bucket_counts(csr, widths_f),
+                    bucket_counts(ids_t, widths_b),
+                ]
+            ),
+        )
+    caps = _allmax_int(local_caps)
+    caps_f = caps[: len(widths_f)]
+    caps_b = caps[len(widths_f) :]
+
+    planes = {}
+    for d, (ids, ids_t) in blocks_t.items():
+        fwd = _ell_planes_fixed(ids, widths_f, caps_f)
+        bwd = _ell_planes_fixed(ids_t, widths_b, caps_b)
+        planes[d] = (fwd, bwd)
+
+    # ---- assemble global sharded arrays (one shard per block) ----
+    any_d = local_blocks[0]
+    fwd_shapes = [p.shape for p in planes[any_d][0][0]]
+    bwd_shapes = [p.shape for p in planes[any_d][1][0]]
+
+    def blk_arr(spec_p, shape, dtype_, fn):
+        return _global_array(
+            mesh, spec_p, (d_blocks,) + shape, dtype_, fn
+        )
+
+    def coo_field(fn, dtype_):
+        def get(d):
+            csr = blocks[d]
+            coo = csr.tocoo()
+            out = np.zeros(nnz_b, dtype_)
+            out[: csr.nnz] = fn(coo)
+            return out[None]
+
+        return blk_arr(P("dual", None), (nnz_b,), dtype_, get)
+
+    vals = coo_field(lambda coo: coo.data.astype(np_dtype), np_dtype)
+    rows_loc = coo_field(lambda coo: coo.row.astype(np.int32), np.int32)
+    cols = coo_field(lambda coo: coo.col.astype(np.int32), np.int32)
+
+    def plane_leaf(which, i, kind):
+        def get(d):
+            fwd, bwd = planes[d]
+            trio = fwd if which == "fwd" else bwd
+            return trio[kind][i][None]
+
+        shapes = fwd_shapes if which == "fwd" else bwd_shapes
+        return blk_arr(
+            P("dual", None, None), shapes[i], np.int32, get
+        )
+
+    fwd_ids = tuple(
+        plane_leaf("fwd", i, 0) for i in range(len(fwd_shapes))
+    )
+    bwd_ids = tuple(
+        plane_leaf("bwd", i, 0) for i in range(len(bwd_shapes))
+    )
+    fwd_cols = tuple(
+        plane_leaf("fwd", i, 1) for i in range(len(fwd_shapes))
+    )
+    bwd_cols = tuple(
+        plane_leaf("bwd", i, 1) for i in range(len(bwd_shapes))
+    )
+    fwd_inv = blk_arr(
+        P("dual", None),
+        (m_b,),
+        np.int32,
+        lambda d: planes[d][0][2][None],
+    )
+    bwd_inv = blk_arr(
+        P("dual", None),
+        (n,),
+        np.int32,
+        lambda d: planes[d][1][2][None],
+    )
+
+    b_full = np.zeros(m_pad, np_dtype)
+    b_full[:m] = spec.right_hand_side
+    b_blk = blk_arr(
+        P("dual", None),
+        (m_b,),
+        np_dtype,
+        lambda d: b_full[d * m_b : (d + 1) * m_b][None],
+    )
+    iseq_blk = blk_arr(
+        P("dual", None),
+        (m_b,),
+        np.bool_,
+        lambda d: (
+            np.arange(d * m_b, (d + 1) * m_b) < spec.num_equalities
+        )[None],
+    )
+    rep = NamedSharding(mesh, P())
+    c_vec = jax.device_put(
+        spec.objective_vector.astype(np_dtype), rep
+    )
+    lo_vec = jax.device_put(
+        spec.variable_lower_bound.astype(np_dtype), rep
+    )
+    hi_vec = jax.device_put(
+        spec.variable_upper_bound.astype(np_dtype), rep
+    )
+
+    # ---- device: rescale + plane scatter (one program) ----
+    (
+        scaled_fwd,
+        scaled_bwd,
+        orig_fwd,
+        orig_bwd,
+        b_scaled,
+        c_scaled,
+        lo_scaled,
+        hi_scaled,
+        cum_con,
+        cum_var,
+        step_size,
+        norm_c,
+        norm_b,
+        linf_b,
+        l2_b,
+    ) = _sharded_rescale_build(
+        vals,
+        rows_loc,
+        cols,
+        fwd_ids,
+        bwd_ids,
+        b_blk,
+        c_vec,
+        lo_vec,
+        hi_vec,
+        mesh=mesh,
+        m_b=m_b,
+        n=n,
+        ruiz_iterations=int(params.l_inf_ruiz_iterations),
+        l2_flag=bool(params.l2_norm_rescaling),
+        pc_alpha=None
+        if params.pock_chambolle_alpha is None
+        else float(params.pock_chambolle_alpha),
+    )
+
+    def make_op(fwd_vals, bwd_vals):
+        return RowBlockEllOp(
+            fwd=EllHalf(
+                buckets=tuple(
+                    EllBucket(cols=c_, vals=v_)
+                    for c_, v_ in zip(fwd_cols, fwd_vals)
+                ),
+                inv_perm=fwd_inv,
+            ),
+            bwd=EllHalf(
+                buckets=tuple(
+                    EllBucket(cols=c_, vals=v_)
+                    for c_, v_ in zip(bwd_cols, bwd_vals)
+                ),
+                inv_perm=bwd_inv,
+            ),
+            num_rows=m_pad,
+            num_cols=n,
+            mesh=mesh,
+        )
+
+    def device_qp(op, cvec, rvec, lvec, uvec):
+        return DeviceQp(
+            variable_lower_bound=lvec,
+            variable_upper_bound=uvec,
+            objective_vector=cvec,
+            objective_constant=jnp.asarray(
+                spec.objective_constant, np_dtype
+            ),
+            right_hand_side=rvec.reshape(-1),
+            is_equality=iseq_blk.reshape(-1),
+            constraint_matrix=op,
+            objective_matrix=None,
+        )
+
+    qp_cache = DeviceQpCache(
+        l_inf_norm_primal_linear_objective=jnp.max(
+            jnp.abs(c_vec)
+        ),
+        l_inf_norm_primal_right_hand_side=linf_b,
+        l2_norm_primal_linear_objective=jnp.linalg.norm(c_vec),
+        l2_norm_primal_right_hand_side=l2_b,
+    )
+    bundle = DeviceScaledQp(
+        scaled=device_qp(
+            make_op(scaled_fwd, scaled_bwd),
+            c_scaled,
+            b_scaled,
+            lo_scaled,
+            hi_scaled,
+        ),
+        original=device_qp(
+            make_op(orig_fwd, orig_bwd),
+            c_vec,
+            b_blk,
+            lo_vec,
+            hi_vec,
+        ),
+        constraint_rescaling=cum_con.reshape(-1),
+        variable_rescaling=cum_var,
+        qp_cache=qp_cache,
+    )
+
+    # ---- initial state: zeros with the solve shardings ----
+    class _ShimScaled:
+        num_variables = n
+        num_constraints = m_pad
+
+    class _Shim:
+        scaled = _ShimScaled()
+
+    template = jax.eval_shape(
+        lambda: _pdhg._initial_state(_Shim(), dtype)
+    )
+    dual_sh = NamedSharding(mesh, P("dual"))
+
+    def make_leaf(leaf):
+        if leaf.ndim == 1 and leaf.shape[0] == m_pad:
+            sharding = dual_sh
+        else:
+            sharding = rep
+
+        return jax.make_array_from_callback(
+            leaf.shape,
+            sharding,
+            lambda index: np.zeros(leaf.shape, leaf.dtype)[index],
+        )
+
+    state = jax.tree_util.tree_map(make_leaf, template)
+    if params.scale_invariant_initial_primal_weight:
+        primal_weight = jnp.where(
+            (norm_c > 0) & (norm_b > 0),
+            params.primal_importance
+            * norm_c
+            / jnp.where(norm_b > 0, norm_b, 1.0),
+            params.primal_importance,
+        ).astype(dtype)
+    else:
+        primal_weight = jnp.asarray(params.primal_importance, dtype)
+    state = dataclasses.replace(
+        state,
+        step_size=step_size.astype(dtype),
+        primal_weight=primal_weight,
+        cumulative_kkt_passes=jnp.asarray(0.5, jnp.float64),
+    )
+
+    # host rescaling vectors for the final unscale (small: m + n)
+    cum_con_h = fetch_global(cum_con).reshape(-1)[:m]
+    cum_var_h = fetch_global(cum_var)
+    scaled_problem = ScaledQpProblem(
+        original_qp=None,
+        scaled_qp=None,
+        constraint_rescaling=np.concatenate(
+            [cum_con_h.astype(np.float64), np.ones(m_pad - m)]
+        ),
+        variable_rescaling=cum_var_h.astype(np.float64),
+    )
+
+    prepared = _pdhg.PreparedProblem(
+        scaled_problem=scaled_problem,
+        bundle=bundle,
+        initial_state=state,
+    )
+    output = _pdhg.optimize(params, None, prepared=prepared)
+    return dataclasses.replace(
+        output,
+        primal_solution=np.asarray(output.primal_solution),
+        dual_solution=np.asarray(output.dual_solution)[:m],
+    )
