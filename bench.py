@@ -31,7 +31,9 @@ time-to-certified-1e-8 line.
 
 Env knobs: BENCH_NODES (default 20000), BENCH_BATCH (128), BENCH_ITERS
 (600 per instance), BENCH_DTYPE (float32), BENCH_SINGLE=1 to instead
-report the single-instance metric, BENCH_TARGET=1e-8 to report single-instance
+report the single-instance metric, BENCH_MP=1 to run the fleet with
+Mirror Prox instead of PDHG (2 KKT passes/iteration; reference
+mirror_prox.jl:623-919), BENCH_TARGET=1e-8 to report single-instance
 time-to-tolerance via iterative refinement (all-f32: routed phase +
 f32 solves of shifted residual LPs, certified in f64, f64-tail
 fallback; refine.py); its vs_baseline is (estimated 1-CPU-core time
@@ -88,6 +90,33 @@ def make_params(limit, dtype, evals_per_dispatch=64, fmt="ell"):
         dtype=dtype,
         matrix_format=fmt,
         evaluations_per_dispatch=evals_per_dispatch,
+    )
+
+
+def make_mp_params(limit, dtype, fmt="ell"):
+    """Mirror-prox fleet parameters, mirroring make_params' protocol
+    (zero tolerances + fixed iteration budget)."""
+    import dataclasses
+
+    from firstorderlp_tpu import MirrorProxParameters
+
+    p = make_params(limit, dtype, fmt=fmt)
+    return MirrorProxParameters(
+        l_inf_ruiz_iterations=p.l_inf_ruiz_iterations,
+        l2_norm_rescaling=p.l2_norm_rescaling,
+        pock_chambolle_alpha=p.pock_chambolle_alpha,
+        primal_importance=p.primal_importance,
+        scale_invariant_initial_primal_weight=(
+            p.scale_invariant_initial_primal_weight
+        ),
+        diagonal_scaling="l2",
+        verbosity=0,
+        record_iteration_stats=False,
+        termination_evaluation_frequency=40,
+        termination_criteria=p.termination_criteria,
+        restart_params=p.restart_params,
+        dtype=dtype,
+        matrix_format=fmt,
     )
 
 
@@ -167,6 +196,7 @@ def main():
     # 1e-8-tolerance CPU/f64 path is exercised by tests.
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     single = os.environ.get("BENCH_SINGLE", "0") == "1"
+    use_mp = os.environ.get("BENCH_MP", "0") == "1"
     target = os.environ.get("BENCH_TARGET")
 
     import jax
@@ -215,7 +245,12 @@ def main():
         file=sys.stderr,
     )
 
-    params = make_params(iteration_limit, dtype, fmt="auto" if single else "ell")
+    if use_mp and not single:
+        params = make_mp_params(iteration_limit, dtype, fmt="ell")
+    else:
+        params = make_params(
+            iteration_limit, dtype, fmt="auto" if single else "ell"
+        )
     fleet = None
     prepared = None
     if single:
@@ -258,11 +293,17 @@ def main():
     )
 
     agg_iters_per_sec = total_iterations / solve_time
-    baseline_iters_per_sec = 2.5e8 / (2.0 * nnz)
+    # MP costs 2 KKT passes (4 matvec passes over A) per iteration.
+    passes_per_iter = 4.0 if use_mp and not single else 2.0
+    baseline_iters_per_sec = 2.5e8 / (passes_per_iter * nnz)
+    method = "mirror_prox" if use_mp and not single else "pdhg"
     name = (
-        "pdhg_iterations_per_sec_chip_pagerank_single"
+        f"{method}_iterations_per_sec_chip_pagerank_single"
         if single
-        else f"pdhg_aggregate_iterations_per_sec_chip_pagerank_b{batch}"
+        else (
+            f"{method}_aggregate_iterations_per_sec_chip_pagerank"
+            f"_b{batch}"
+        )
     )
     print(
         json.dumps(
@@ -277,7 +318,7 @@ def main():
         )
     )
 
-    if not single:
+    if not single and not use_mp:
         # Flagship metric LAST so the driver's parsed tail records it:
         # single-instance time to certified 1e-8 relative KKT error
         # (the reference's own correctness bar, termination.jl:33-45).

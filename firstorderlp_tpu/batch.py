@@ -33,6 +33,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .models import pdhg as _pdhg
+from .models import mirror_prox as _mp
 from .models.common import (
     HashableCriteria,
     estimate_maximum_singular_value,
@@ -128,8 +129,13 @@ def _stack_pytrees_minor(trees):
 )
 def _run_segment_shared(bundle, state, elapsed_time, config, axes_hash):
     bundle_axes, state_axes = axes_hash.trees()
+    core = (
+        _mp._segment_core
+        if isinstance(config, _mp._MpConfig)
+        else _pdhg._segment_core
+    )
     return jax.vmap(
-        lambda b, s: _pdhg._segment_core(b, s, elapsed_time, config),
+        lambda b, s: core(b, s, elapsed_time, config),
         in_axes=(bundle_axes, state_axes),
         out_axes=(state_axes, 0),
     )(bundle, state)
@@ -355,6 +361,10 @@ class _PatternMismatch(Exception):
     pass
 
 
+def _is_mp(params) -> bool:
+    return isinstance(params, _mp.MirrorProxParameters)
+
+
 def prepare_shared_pattern_fleet(
     params: _pdhg.PdhgParameters,
     problems: Sequence[QuadraticProgrammingProblem],
@@ -372,8 +382,12 @@ def prepare_shared_pattern_fleet(
         return _prepare_fleet_from_spec(params, problems)
     fast_ok = (
         len(problems) > 0
-        and isinstance(
-            params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
+        and (
+            _is_mp(params)
+            or isinstance(
+                params.step_size_policy_params,
+                _pdhg.AdaptiveStepsizeParams,
+            )
         )
         and all(p.objective_matrix.nnz == 0 for p in problems)
     )
@@ -464,10 +478,13 @@ def _prepare_fleet_from_spec(
     """Fast-path ingest for a device-generated fleet: ships the base
     problem + thetas, vmaps the generators on device, then reuses the
     shared device rescale/plane build."""
-    if not isinstance(
+    if not _is_mp(params) and not isinstance(
         params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
     ):
-        raise ValueError("FleetSpec fleets require the adaptive step rule")
+        raise ValueError(
+            "FleetSpec fleets require the adaptive step rule (or mirror "
+            "prox)"
+        )
     base = spec.base_problem
     validate(base)
     if base.objective_matrix is not None and base.objective_matrix.nnz > 0:
@@ -684,7 +701,12 @@ def _finish_fleet_fast(
         # zeros) batched by the slow path's stacking rule, then
         # per-instance step size (1/max|A_scaled|), primal weight and
         # KKT counter.
-        state_template = _pdhg._initial_state(_Shim(), dtype)
+        is_mp = _is_mp(params)
+        state_template = (
+            _mp._initial_state(_Shim(), dtype)
+            if is_mp
+            else _pdhg._initial_state(_Shim(), dtype)
+        )
 
         def batch_state_leaf(leaf):
             axis = _batch_axis_for_leaf(leaf)
@@ -697,6 +719,68 @@ def _finish_fleet_fast(
             return leaf
 
         state = jax.tree_util.tree_map(batch_state_leaf, state_template)
+        if is_mp:
+            # Mirror-map scalings on device (LP fleets: Q = 0). The
+            # scaled entry values are v_orig over the cumulative
+            # scaling product (_initial_scalings, mirror_prox.jl:484-550
+            # semantics, fleet-vectorized via segment reductions).
+            v_scaled = v_orig / (
+                _gather_rows(cum_con, jnp.asarray(aux["rows"]))
+                * _gather_rows(cum_var, jnp.asarray(aux["cols"]))
+            )
+            rows_j = jnp.asarray(aux["rows"])
+            cols_j = jnp.asarray(aux["cols"])
+            if params.diagonal_scaling == "l2":
+                px = jnp.sqrt(
+                    jax.ops.segment_sum(v_scaled**2, cols_j, n)
+                )
+                py = jnp.sqrt(
+                    jax.ops.segment_sum(v_scaled**2, rows_j, m)
+                )
+                pw0 = jnp.full(b, params.primal_importance, dtype)
+            elif params.diagonal_scaling == "l1":
+                px = jax.ops.segment_sum(jnp.abs(v_scaled), cols_j, n)
+                py = jax.ops.segment_sum(jnp.abs(v_scaled), rows_j, m)
+                pw0 = jnp.ones(b, dtype)
+            elif params.diagonal_scaling == "off":
+                px = jnp.full(
+                    (n, b), params.primal_importance, dtype
+                )
+                py = jnp.full(
+                    (m, b), 1.0 / params.primal_importance, dtype
+                )
+                pw0 = jnp.ones(b, dtype)
+            else:
+                raise ValueError(
+                    f"Unknown diagonal_scaling: "
+                    f"{params.diagonal_scaling!r}"
+                )
+            if params.scale_invariant_initial_primal_weight:
+                obj_norm = jnp.sqrt(
+                    jnp.sum(px * scaled_vectors["c"] ** 2, axis=0)
+                )
+                rhs_norm = jnp.sqrt(
+                    jnp.sum(py * scaled_vectors["b"] ** 2, axis=0)
+                )
+                new_pw = jnp.where(
+                    (obj_norm > 0) & (rhs_norm > 0),
+                    params.primal_importance
+                    * obj_norm
+                    / jnp.where(rhs_norm > 0, rhs_norm, 1.0),
+                    params.primal_importance,
+                ).astype(dtype)
+            else:
+                new_pw = jnp.full(b, params.primal_importance, dtype)
+            ratio = new_pw / pw0
+            state = dataclasses.replace(
+                state,
+                primal_scaling=(px * ratio[None, :]).astype(dtype),
+                dual_scaling=(py / ratio[None, :]).astype(dtype),
+                step_size=step_size.astype(dtype),
+                primal_weight=new_pw,
+                cumulative_kkt_passes=jnp.zeros(b, jnp.float64),
+            )
+            return batched_bundle, state, cum_con, cum_var
         if params.scale_invariant_initial_primal_weight:
             primal_weight = jnp.where(
                 (norm_c > 0) & (norm_b > 0),
@@ -721,7 +805,13 @@ def _finish_fleet_fast(
 
     single_state_axes = jax.tree_util.tree_map(
         _batch_axis_for_leaf,
-        jax.eval_shape(lambda: _pdhg._initial_state(_Shim(), dtype)),
+        jax.eval_shape(
+            lambda: (
+                _mp._initial_state(_Shim(), dtype)
+                if _is_mp(params)
+                else _pdhg._initial_state(_Shim(), dtype)
+            )
+        ),
     )
     single_bundle_axes = jax.tree_util.tree_map(
         _fast_bundle_axis, batched_bundle
@@ -752,8 +842,9 @@ def _prepare_fleet_slow(
     params: _pdhg.PdhgParameters,
     problems: Sequence[QuadraticProgrammingProblem],
 ) -> SharedPatternFleet:
-    """Per-instance ingest loop (QPs, constant-step fleets)."""
-    if not isinstance(
+    """Per-instance ingest loop (QPs, constant-step and MP fleets)."""
+    is_mp = _is_mp(params)
+    if not is_mp and not isinstance(
         params.step_size_policy_params,
         (_pdhg.AdaptiveStepsizeParams, _pdhg.ConstantStepsizeParams),
     ):
@@ -785,9 +876,36 @@ def _prepare_fleet_slow(
         )
         if state_template is None:
             state_template = jax.tree_util.tree_map(
-                np.asarray, _pdhg._initial_state(bundle, dtype)
+                np.asarray,
+                (
+                    _mp._initial_state(bundle, dtype)
+                    if is_mp
+                    else _pdhg._initial_state(bundle, dtype)
+                ),
             )
         state = state_template
+
+        np_dtype = np.dtype(dtype.name)
+        if is_mp:
+            inf_norm = matrix_inf_norm_entrywise(
+                scaled.scaled_qp.constraint_matrix
+            )
+            px, py, pw = _mp.initial_mp_scalings(
+                scaled.scaled_qp, params
+            )
+            state = dataclasses.replace(
+                state,
+                primal_scaling=np.asarray(px, np_dtype),
+                dual_scaling=np.asarray(py, np_dtype),
+                step_size=np.asarray(
+                    1.0 / inf_norm if inf_norm > 0 else 1.0, np_dtype
+                ),
+                primal_weight=np.asarray(pw, np_dtype),
+            )
+            bundles.append(bundle)
+            states.append(state)
+            scaled_problems.append(scaled)
+            continue
 
         kkt0 = 0.0
         if isinstance(
@@ -834,7 +952,7 @@ def _prepare_fleet_slow(
 
 
 def solve_batch_shared_pattern(
-    params: _pdhg.PdhgParameters,
+    params: "_pdhg.PdhgParameters | _mp.MirrorProxParameters",
     problems: Sequence[QuadraticProgrammingProblem],
     fleet: "SharedPatternFleet | None" = None,
 ) -> List[SaddlePointOutput]:
@@ -845,6 +963,12 @@ def solve_batch_shared_pattern(
     bounds, objectives and rhs may differ freely. Raises ValueError when
     patterns differ (use solve_batch for heterogeneous fleets). Pass a
     `fleet` from prepare_shared_pattern_fleet to skip ingest.
+
+    Accepts PdhgParameters or MirrorProxParameters: the segment machinery
+    (minor-axis vmap, per-lane termination freeze, checkpoint/resume) is
+    shared; only the vmapped core and the initial state differ
+    (reference gives the two methods equal billing,
+    mirror_prox.jl:623-919).
     """
     if (
         not isinstance(problems, FleetSpec)
@@ -860,14 +984,27 @@ def solve_batch_shared_pattern(
     scaled_problems = fleet.scaled_problems
     num_instances = len(scaled_problems)
 
-    config = _pdhg._PdhgConfig(
-        criteria=HashableCriteria.from_criteria(params.termination_criteria),
-        restart_params=params.restart_params,
-        step_policy=params.step_size_policy_params,
-        termination_evaluation_frequency=int(
-            params.termination_evaluation_frequency
-        ),
-    )
+    if _is_mp(params):
+        config = _mp._MpConfig(
+            criteria=HashableCriteria.from_criteria(
+                params.termination_criteria
+            ),
+            restart_params=params.restart_params,
+            termination_evaluation_frequency=int(
+                params.termination_evaluation_frequency
+            ),
+        )
+    else:
+        config = _pdhg._PdhgConfig(
+            criteria=HashableCriteria.from_criteria(
+                params.termination_criteria
+            ),
+            restart_params=params.restart_params,
+            step_policy=params.step_size_policy_params,
+            termination_evaluation_frequency=int(
+                params.termination_evaluation_frequency
+            ),
+        )
 
     # Fleet checkpoint/resume: the batched state is ONE pytree, so the
     # preemptible-fleet story reuses the same atomic .npz path as the

@@ -350,11 +350,9 @@ def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
     return new_state, result
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config",)
-)
-def _run_segment(bundle: DeviceScaledQp, state: MirrorProxState,
-                 elapsed_time, config: _MpConfig):
+def _segment_core(bundle: DeviceScaledQp, state: MirrorProxState,
+                  elapsed_time, config: _MpConfig):
+    """Unjitted segment body - vmapped by batch.py for MP fleets."""
     state, result = _eval_block(bundle, state, elapsed_time, config)
 
     # Termination freeze folded into the while predicate instead of a
@@ -378,6 +376,39 @@ def _run_segment(bundle: DeviceScaledQp, state: MirrorProxState,
 
     state = jax.lax.while_loop(cond, body, state)
     return state, result
+
+
+_run_segment = functools.partial(
+    jax.jit, static_argnames=("config",)
+)(_segment_core)
+
+
+def _initial_state(shim, dtype) -> MirrorProxState:
+    """Zero template (scalings/step/weight are placeholders replaced by
+    the caller); `shim` only needs .scaled.num_variables/num_constraints
+    so batch.py can build the template without a device bundle."""
+    n = shim.scaled.num_variables
+    m = shim.scaled.num_constraints
+    return MirrorProxState(
+        current_primal=jnp.zeros(n, dtype),
+        current_dual=jnp.zeros(m, dtype),
+        primal_scaling=jnp.ones(n, dtype),
+        dual_scaling=jnp.ones(m, dtype),
+        avg=initialize_solution_weighted_average(n, m, dtype),
+        restart_info=create_last_restart_info(
+            jnp.zeros(n, dtype), jnp.zeros(m, dtype)
+        ),
+        step_size=jnp.asarray(1.0, dtype),
+        primal_weight=jnp.asarray(1.0, dtype),
+        numerical_error=jnp.asarray(False),
+        cumulative_kkt_passes=jnp.asarray(0.0, jnp.float64),
+        iteration=jnp.int64(1),
+        iterations_completed=jnp.int64(0),
+        accepted_iterations=jnp.int64(0),
+        termination_reason=jnp.int32(0),
+        avg_primal_out=jnp.zeros(n, dtype),
+        avg_dual_out=jnp.zeros(m, dtype),
+    )
 
 
 def _initial_scalings(scaled_qp, diagonal_scaling: str,
@@ -409,6 +440,42 @@ def _initial_scalings(scaled_qp, diagonal_scaling: str,
     else:
         raise ValueError(f"Unknown diagonal_scaling: {diagonal_scaling!r}")
     return primal, dual, primal_weight
+
+
+def initial_mp_scalings(scaled_qp, params: "MirrorProxParameters"):
+    """Final (primal_scaling, dual_scaling, primal_weight) for a scaled
+    problem: diagonal scalings, optional scale-invariant primal weight,
+    and the update_mirror_prox_norms ratio fold (mirror_prox.jl:677-688).
+    Host-side numpy; used by optimize() and by batch.py's slow fleet
+    ingest."""
+    primal_scaling, dual_scaling, primal_weight = _initial_scalings(
+        scaled_qp, params.diagonal_scaling, params.primal_importance
+    )
+    if params.scale_invariant_initial_primal_weight:
+        obj_norm = float(
+            np.sqrt(
+                np.sum(primal_scaling * scaled_qp.objective_vector ** 2)
+            )
+        )
+        rhs_norm = float(
+            np.sqrt(
+                np.sum(dual_scaling * scaled_qp.right_hand_side ** 2)
+            )
+        )
+        if obj_norm > 0.0 and rhs_norm > 0.0:
+            new_primal_weight = params.primal_importance * (
+                obj_norm / rhs_norm
+            )
+        else:
+            new_primal_weight = params.primal_importance
+    else:
+        new_primal_weight = params.primal_importance
+    ratio = new_primal_weight / primal_weight
+    return (
+        primal_scaling * ratio,
+        dual_scaling / ratio,
+        new_primal_weight,
+    )
 
 
 def optimize(
@@ -454,41 +521,9 @@ def optimize(
     )
     step_size = 1.0 / inf_norm if inf_norm > 0 else 1.0
 
-    primal_scaling, dual_scaling, primal_weight = _initial_scalings(
-        scaled_problem.scaled_qp,
-        params.diagonal_scaling,
-        params.primal_importance,
+    primal_scaling, dual_scaling, primal_weight = initial_mp_scalings(
+        scaled_problem.scaled_qp, params
     )
-    if params.scale_invariant_initial_primal_weight:
-        obj_norm = float(
-            np.sqrt(
-                np.sum(
-                    primal_scaling
-                    * scaled_problem.scaled_qp.objective_vector ** 2
-                )
-            )
-        )
-        rhs_norm = float(
-            np.sqrt(
-                np.sum(
-                    dual_scaling
-                    * scaled_problem.scaled_qp.right_hand_side ** 2
-                )
-            )
-        )
-        if obj_norm > 0.0 and rhs_norm > 0.0:
-            new_primal_weight = params.primal_importance * (
-                obj_norm / rhs_norm
-            )
-        else:
-            new_primal_weight = params.primal_importance
-    else:
-        new_primal_weight = params.primal_importance
-    # update_mirror_prox_norms at initialization (mirror_prox.jl:688).
-    ratio = new_primal_weight / primal_weight
-    primal_scaling = primal_scaling * ratio
-    dual_scaling = dual_scaling / ratio
-    primal_weight = new_primal_weight
 
     state = MirrorProxState(
         current_primal=jnp.zeros(n, dtype),
