@@ -100,6 +100,41 @@ def _expand_body(shift, rows, s_ref, xs_ref, loc_ref, g_ref):
     g_ref[...] = g.reshape(rows, 128)
 
 
+def _scatter_matmul(hr, k, p, lo, hi):
+    """(hr,128) one-hot scatter-accumulate of p (1,k) at rows hi, lanes
+    lo, via a 3-term bf16 split of the DATA side: m = m_hi+m_mid+m_lo
+    exactly (24 mantissa bits over three 8-bit bf16 terms), the one-hot
+    side is exactly 0/1 in bf16, and every bf16 x bf16 product is exact
+    in the f32 accumulator - so three DEFAULT-precision passes reproduce
+    the f32-accumulation class of HIGHEST (6 passes) at half the MXU
+    cost (the same split the expand kernel uses on its window). The
+    mask select stays in f32 (an i1 mask feeding a bf16 select trips a
+    Mosaic relayout error); the split is applied to the masked matrix."""
+    m = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
+    )
+    m_hi = m.astype(jnp.bfloat16)
+    r1 = m - m_hi.astype(jnp.float32)
+    m_mid = r1.astype(jnp.bfloat16)
+    m_lo = (r1 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    o_hi = (
+        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
+    ).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    acc = lax.dot_general(
+        o_hi, m_hi, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + lax.dot_general(
+        o_hi, m_mid, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return acc + lax.dot_general(
+        o_hi, m_lo, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _reduce_body(hr, rows, shift16, meta_ref, g_ref, v_ref, loc_ref, y_ref):
     """y_strip (HR,128) += scatter of p = g*vals at local rows.
 
@@ -115,21 +150,7 @@ def _reduce_body(hr, rows, shift16, meta_ref, g_ref, v_ref, loc_ref, y_ref):
     p = (g_ref[...] * v_ref[...]).reshape(1, k)
     loc = loc_ref[...].reshape(1, k)
     loc = (loc >> 16) if shift16 else (loc & 0xFFFF)
-    hi = loc >> 7
-    lo = loc & 127
-    m = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
-    )
-    o_hi = (
-        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
-    ).astype(jnp.float32)
-    y_ref[0] = y_ref[0] + lax.dot_general(
-        o_hi,
-        m,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HI,
-    )
+    y_ref[0] = y_ref[0] + _scatter_matmul(hr, k, p, loc & 127, loc >> 7)
 
 
 @functools.lru_cache(maxsize=None)
@@ -211,21 +232,7 @@ def _reduce_dual_body(
     k = rows * 128
     p = (g_ref[...] * v_ref[...]).reshape(1, k)
     loc = loc_ref[...].reshape(1, k) >> 16
-    hi = loc >> 7
-    lo = loc & 127
-    m = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
-    )
-    o_hi = (
-        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
-    ).astype(jnp.float32)
-    y_ref[0] = y_ref[0] + lax.dot_general(
-        o_hi,
-        m,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HI,
-    )
+    y_ref[0] = y_ref[0] + _scatter_matmul(hr, k, p, loc & 127, loc >> 7)
 
     @pl.when(meta_ref[i, 2] == 1)
     def _():
@@ -260,20 +267,8 @@ def _reduce_rmv_stats_body(
     k = rows * 128
     p = (g_ref[...] * v_ref[...]).reshape(1, k)
     loc = loc_ref[...].reshape(1, k) & 0xFFFF
-    hi = loc >> 7
-    lo = loc & 127
-    m = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
-    )
-    o_hi = (
-        lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
-    ).astype(jnp.float32)
-    out_ref[0] = out_ref[0] + lax.dot_general(
-        o_hi,
-        m,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HI,
+    out_ref[0] = out_ref[0] + _scatter_matmul(
+        hr, k, p, loc & 127, loc >> 7
     )
 
     @pl.when(meta_ref[i, 2] == 1)
