@@ -34,6 +34,25 @@ _REFINABLE = (
 )
 
 
+def _phase1_refinable(out) -> bool:
+    """Whether the f32 phase produced a point worth refining.
+
+    NUMERICAL_ERROR (movement == 0) at f32 usually means the iterates
+    hit the f32 rounding floor - exactly the situation refinement (or
+    the f64 tail) exists for - so it qualifies as long as the point is
+    finite. Infeasibility certificates and NaN blowups do not."""
+    if out.termination_reason in _REFINABLE:
+        return True
+    if out.termination_reason == (
+        TerminationReason.TERMINATION_REASON_NUMERICAL_ERROR
+    ):
+        return bool(
+            np.all(np.isfinite(out.primal_solution))
+            and np.all(np.isfinite(out.dual_solution))
+        )
+    return False
+
+
 def _offset_stats(stats, iters, kkt, secs):
     out = []
     for s in stats:
@@ -65,7 +84,7 @@ def optimize_split_precision(
         prepared = _pdhg.prepare_problem(p1, problem)
     out1 = _pdhg.optimize(p1, problem, prepared=prepared)
     crit = params.termination_criteria
-    if out1.termination_reason not in _REFINABLE:
+    if not _phase1_refinable(out1):
         return out1
     last1 = out1.iteration_stats[-1] if out1.iteration_stats else None
     if last1 is None:
@@ -151,21 +170,28 @@ def phase1_params(
 # ---------------------------------------------------------------------------
 
 
-def _shifted_problem(problem, x0, y0, alpha, promote_threshold):
-    """The residual LP around (x0, y0), scaled by `alpha`.
+def _shifted_problem(problem, x0, y0, alpha, promote_threshold,
+                     rel_tol=0.0):
+    """The residual LP/QP around (x0, y0), scaled by `alpha`.
 
     Derivation (primal-dual refinement of the saddle point
-    c'x - y'(Ax-b)): with x = x0 + u/alpha, y = y0 + v/alpha the shifted
-    objective is alpha(c - A'y0), the shifted rhs alpha(b - A x0), and
-    the bounds alpha(l - x0), alpha(u - x0). Inequality duals carry the
-    constraint v_I >= -alpha y0_I, which standard form cannot express;
-    rows whose y0_I is clearly positive (> promote_threshold) are
-    PROMOTED to equalities (their optimal dual is strictly positive
-    under strict complementarity - a guess certified afterwards in f64
-    with a fallback), and the remaining rows clamp y0_I to 0 so
-    v_I >= 0 matches the standard cone.
+    0.5 x'Qx + c'x - y'(Ax-b)): substitute x = x0 + u/alpha,
+    y = y0 + v/alpha and multiply the saddle function by alpha^2. The
+    quadratic term 0.5 (u/alpha)'Q(u/alpha) scales back to 0.5 u'Qu -
+    Q is UNCHANGED - while the gradient cross-term Q x0 joins the
+    shifted objective vector alpha(c + Q x0 - A'y0) (the VERDICT r02
+    item 5 extension; for LPs Q = 0 and this reduces to the familiar
+    alpha(c - A'y0)). The shifted rhs is alpha(b - A x0) and the bounds
+    alpha(l - x0), alpha(u - x0). Inequality duals carry the constraint
+    v_I >= -alpha y0_I, which standard form cannot express; rows whose
+    y0_I is clearly positive (> promote_threshold) are PROMOTED to
+    equalities (their optimal dual is strictly positive under strict
+    complementarity - a guess certified afterwards in f64 with a
+    fallback), and the remaining rows clamp y0_I to 0 so v_I >= 0
+    matches the standard cone.
 
-    Returns (shifted_problem, row permutation new->old, y0_used)."""
+    Returns (shifted_problem, row permutation new->old, y0_used,
+    x0_used - x0 with fixed variables snapped to their bounds)."""
     import scipy.sparse as sp
 
     m = problem.num_constraints
@@ -182,28 +208,95 @@ def _shifted_problem(problem, x0, y0, alpha, promote_threshold):
     a_perm = a[perm]
 
     x0 = np.asarray(x0, dtype=np.float64)
+    grad = np.asarray(problem.objective_vector) - a.T @ y0_used
+    n = problem.num_variables
+    if problem.objective_matrix is not None and (
+        problem.objective_matrix.nnz > 0
+    ):
+        q = sp.csc_matrix(problem.objective_matrix)
+        grad = grad + q @ x0
+    else:
+        q = sp.csc_matrix((n, n))
+
+    # Variable analogue of the row promotion: a variable AT its bound
+    # whose gradient points clearly INTO the bound has its gradient
+    # absorbed by the implicit bound dual (reduced cost) - under strict
+    # complementarity it stays at the bound, so FIX it (u_j = 0) and
+    # drop its absorbed gradient from the shifted objective. Without
+    # this, alpha * |absorbed rc| entries dominate ||c_hat|| and the
+    # shifted problem's relative criteria read "converged" while the
+    # TRUE residual is untouched (551/600 vars on the degenerate
+    # transport family; certification failed every round). Absorbing
+    # WITHOUT fixing is wrong - the freed variables drift off their
+    # bounds at zero objective cost and the true objective explodes
+    # (measured: gap 4.6e2). The guess is certified in f64 afterwards,
+    # with the f64 tail as fallback, exactly like the row promotion.
+    lo0 = np.asarray(problem.variable_lower_bound, np.float64)
+    hi0 = np.asarray(problem.variable_upper_bound, np.float64)
+    gscale = np.max(np.abs(grad), initial=0.0)
+    # rel_tol = sqrt(certified residual): the same scale-aware
+    # threshold rule as the row promotion.
+    fix_thr = rel_tol * gscale if gscale > 0 else np.inf
+    # The at-bound tolerance depends on the problem class. LP optima
+    # sit on vertices, so a variable within rel_tol * |x|_inf of its
+    # bound with a clearly-signed gradient is at the bound at optimum
+    # (degenerate transport/random LPs need this slack - phase 1
+    # leaves their at-bound variables ~1e-6 off). Strictly convex QP
+    # curvature routinely places optima JUST off a bound, so for QPs
+    # only variables EXACTLY at the bound (PDHG's projection clamps
+    # exactly) qualify - a positive tolerance mis-fixed whole QP
+    # families into the fallback. (On PageRank the tolerance must
+    # scale with |x|_inf ~ 1/n, not the bound magnitudes, or every
+    # variable looks "at bound".)
+    x_scale = np.max(np.abs(x0), initial=0.0)
+    bt = 0.0 if q.nnz > 0 else rel_tol * max(x_scale, 1e-300)
+    fix_lo = ((x0 - lo0) <= bt) & (grad > fix_thr)
+    fix_hi = np.isfinite(hi0) & ((hi0 - x0) <= bt) & (grad < -fix_thr)
+    fixed = fix_lo | fix_hi
+    # SNAP fixed variables to their bound (not freeze at x0): a fixed
+    # variable sitting at bound + delta leaves a complementarity term
+    # rc_j * delta in the duality gap that no u can repair (measured:
+    # p, d -> 1e-15 with the gap stuck at 1e-4). The snap enters b_hat
+    # (and the Q gradient), and the caller applies it to x via the
+    # returned x0_used. Rows get the same snap for free: promotion to
+    # equality forces their slack to zero.
+    x0_used = np.where(fix_lo, lo0, np.where(fix_hi, hi0, x0))
+    if q.nnz > 0:
+        grad = grad + q @ (x0_used - x0)
     b_hat = alpha * (np.asarray(problem.right_hand_side)[perm]
-                     - a_perm @ x0)
-    c_hat = alpha * (
-        np.asarray(problem.objective_vector) - a.T @ y0_used
+                     - a_perm @ x0_used)
+    c_hat = alpha * np.where(fixed, 0.0, grad)
+    lo = np.where(fixed, 0.0, alpha * (lo0 - x0_used))
+    hi = np.where(fixed, 0.0, alpha * (hi0 - x0_used))
+
+    # Primal analogue of the same normalization disease: an INACTIVE
+    # inequality row carries slack alpha*(b - Ax)_i ~ alpha * O(1) into
+    # b_hat, so ||b_hat|| is dominated by vacuous rows and the shifted
+    # solve's relative criteria read "converged" while the meaningful
+    # (equality/promoted/active) residuals are 1e4x smaller (measured:
+    # sub reported rel_p = 9e-9 while its true shifted residual matched
+    # ||b_hat_active||). The constraint a_i u >= b_hat_i is vacuous for
+    # any plausible correction, so clamp the slack at a cap comfortably
+    # above the active scale; a correction large enough to hit the cap
+    # would fail f64 certification and fall back.
+    n_act = int(k + len(promoted))
+    slack_cap = 1e2 * (
+        1.0 + np.max(np.abs(b_hat[:n_act]), initial=0.0)
     )
-    lo = alpha * (np.asarray(problem.variable_lower_bound) - x0)
-    hi = alpha * (np.asarray(problem.variable_upper_bound) - x0)
+    b_hat[n_act:] = np.maximum(b_hat[n_act:], -slack_cap)
     from .problem import QuadraticProgrammingProblem
 
     shifted = QuadraticProgrammingProblem(
         variable_lower_bound=lo,
         variable_upper_bound=hi,
-        objective_matrix=sp.csc_matrix(
-            (problem.num_variables, problem.num_variables)
-        ),
+        objective_matrix=q,
         objective_vector=c_hat,
         objective_constant=0.0,
         constraint_matrix=sp.csc_matrix(a_perm),
         right_hand_side=b_hat,
         num_equalities=int(k + len(promoted)),
     )
-    return shifted, perm, y0_used
+    return shifted, perm, y0_used, x0_used
 
 
 def _certified(prepared, criteria, x, y):
@@ -243,34 +336,28 @@ def optimize_iterative_refinement(
     params: _pdhg.PdhgParameters,
     problem,
     switch_tolerance: float = 1e-6,
-    max_rounds: int = 2,
+    max_rounds: int = 4,
+    sub_tolerance: float = 1e-6,
     prepared=None,
 ):
     """All-f32 path to 1e-8: f32 solve + f32 solves of shifted residual
-    LPs, each certified in f64 on the original problem; falls back to
-    the f64 tail (optimize_split_precision) if certification stalls.
+    problems, each certified in f64 on the original problem; falls back
+    to the f64 tail (optimize_split_precision) if certification stalls.
+
+    Covers LPs and QPs: the alpha^2-scaled shift leaves Q unchanged and
+    moves the Q x0 gradient cross-term into the shifted objective
+    vector (see _shifted_problem).
 
     No reference counterpart (the reference is pure f64); the technique
     is LP iterative refinement (Gleixner et al.) adapted to the
     primal-dual saddle point with active-set promotion for the dual
     cone shift. Returns (output, used_fallback)."""
-    if problem.objective_matrix is not None and (
-        problem.objective_matrix.nnz > 0
-    ):
-        # the shifted-problem derivation here is LP-only; QPs take the
-        # f64 tail directly.
-        return (
-            optimize_split_precision(
-                params, problem, switch_tolerance, prepared=prepared
-            ),
-            True,
-        )
     p1 = phase1_params(params, switch_tolerance)
     if prepared is None:
         prepared = _pdhg.prepare_problem(p1, problem)
     out1 = _pdhg.optimize(p1, problem, prepared=prepared)
     crit = params.termination_criteria
-    if out1.termination_reason not in _REFINABLE:
+    if not _phase1_refinable(out1):
         return out1, False
 
     x = np.clip(
@@ -284,6 +371,9 @@ def optimize_iterative_refinement(
     kkt = stats_tail[-1].cumulative_kkt_matrix_passes if stats_tail else 0.0
     t_accum = stats_tail[-1].cumulative_time_sec if stats_tail else 0.0
 
+    prev_res = None
+    best_res = np.inf
+    best_x, best_y = x, y
     for round_idx in range(max_rounds):
         ok, conv = _certified(prepared, crit, x, y)
         if ok:
@@ -328,6 +418,15 @@ def optimize_iterative_refinement(
             / (1.0 + abs(conv.primal_objective)),
             1e-14,
         )
+        if res < best_res:
+            best_res, best_x, best_y = res, x, y
+        # monotone guard: a round must at least halve the certified
+        # residual, else refining has stalled (marginal gains do not
+        # pay for 10k-iteration sub-solves) and the f64 tail is the
+        # better spend - warm-started from the BEST certified point.
+        if prev_res is not None and res >= 0.5 * prev_res:
+            break
+        prev_res = res
         alpha = min(1.0 / res * 1e-2, 1e12)
         if alpha <= 1.0:
             break
@@ -340,10 +439,11 @@ def optimize_iterative_refinement(
         promote_threshold = (
             np.sqrt(res) * y_scale if y_scale > 0 else np.inf
         )
-        shifted, perm, y0_used = _shifted_problem(
-            problem, x, y, alpha, promote_threshold
+        shifted, perm, y0_used, x0_used = _shifted_problem(
+            problem, x, y, alpha, promote_threshold,
+            rel_tol=np.sqrt(res),
         )
-        sub_params = phase1_params(params, switch_tolerance)
+        sub_params = phase1_params(params, sub_tolerance)
         sub_params = dataclasses.replace(
             sub_params,
             verbosity=0,
@@ -362,13 +462,14 @@ def optimize_iterative_refinement(
         )
         sub = _pdhg.optimize(sub_params, shifted)
         # NUMERICAL_ERROR on the shifted solve usually means movement
-        # hit zero at f32 exactness - the point is still a valid
-        # correction (certification decides). A shifted solve that hits
-        # its iteration cap is a diverging correction: stop refining.
-        if sub.termination_reason == (
-            TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
-        ):
-            break
+        # hit zero at f32 exactness, and a capped (ITERATION_LIMIT)
+        # solve still carries a partial correction - both are applied
+        # TENTATIVELY: the next round's f64 certification plus the
+        # monotone guard above decide whether the correction stands
+        # (the fallback warm-starts from the best certified point, so
+        # a bad tentative correction costs one sub-solve, not the
+        # solution). Infeasibility certificates on the shifted problem
+        # mean the linearization is garbage: stop refining.
         acceptable = _REFINABLE + (
             TerminationReason.TERMINATION_REASON_NUMERICAL_ERROR,
         )
@@ -379,7 +480,7 @@ def optimize_iterative_refinement(
         v = np.empty_like(v_perm)
         v[perm] = v_perm
         x = np.clip(
-            x + u / alpha,
+            x0_used + u / alpha,
             problem.variable_lower_bound,
             problem.variable_upper_bound,
         )
@@ -396,6 +497,8 @@ def optimize_iterative_refinement(
     # The tail spends only what is left of the caller's declared
     # iteration budget; if nothing is left, return the best point with
     # the honest limit-based reason instead of overrunning.
+    if np.isfinite(best_res):
+        x, y = best_x, best_y
     remaining = int(crit.iteration_limit) - total_iters
     if remaining <= 0:
         return (
