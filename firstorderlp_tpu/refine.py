@@ -170,9 +170,20 @@ def phase1_params(
 # ---------------------------------------------------------------------------
 
 
-def _shifted_problem(problem, x0, y0, alpha, promote_threshold,
-                     rel_tol=0.0):
+def _shifted_data(problem, x0, y0, alpha, promote_threshold,
+                  rel_tol=0.0):
     """The residual LP/QP around (x0, y0), scaled by `alpha`.
+
+    Constraint rows stay in their ORIGINAL order: the constraint matrix
+    (and Q) of the shifted problem IS the original matrix, so the
+    shifted solve reuses the phase-1 device bundle wholesale (routed
+    planes, Ruiz/PC rescaling vectors, even the initial step size -
+    Ruiz depends only on A) and only swaps the problem VECTORS and the
+    is_equality mask (_prepare_shifted_fast). The equality-prefix
+    layout is an ingestion convention; every device code path consumes
+    is_equality as a mask. This removes the per-round shifted-problem
+    ingest (host tile-plan build + a multi-MB transfer that cost ~1 s
+    per round over the tunnel).
 
     Derivation (primal-dual refinement of the saddle point
     0.5 x'Qx + c'x - y'(Ax-b)): substitute x = x0 + u/alpha,
@@ -190,22 +201,20 @@ def _shifted_problem(problem, x0, y0, alpha, promote_threshold,
     fallback), and the remaining rows clamp y0_I to 0 so v_I >= 0
     matches the standard cone.
 
-    Returns (shifted_problem, row permutation new->old, y0_used,
-    x0_used - x0 with fixed variables snapped to their bounds)."""
+    Returns (c_hat, b_hat, lo, hi, eq_mask, y0_used, x0_used) - all in
+    the original row/column order; x0_used is x0 with fixed variables
+    snapped to their bounds."""
     import scipy.sparse as sp
 
     m = problem.num_constraints
     k = problem.num_equalities
     a = sp.csr_matrix(problem.constraint_matrix)
     y0_used = np.array(y0, dtype=np.float64)
-    ineq = np.arange(k, m)
-    promoted_mask = y0_used[ineq] > promote_threshold
-    y0_used[ineq[~promoted_mask]] = 0.0
-
-    promoted = ineq[promoted_mask]
-    remaining = ineq[~promoted_mask]
-    perm = np.concatenate([np.arange(k), promoted, remaining])
-    a_perm = a[perm]
+    eq_mask = np.zeros(m, dtype=bool)
+    eq_mask[:k] = True
+    promoted = (~eq_mask) & (y0_used > promote_threshold)
+    y0_used[(~eq_mask) & ~promoted] = 0.0
+    eq_mask = eq_mask | promoted
 
     x0 = np.asarray(x0, dtype=np.float64)
     grad = np.asarray(problem.objective_vector) - a.T @ y0_used
@@ -263,8 +272,9 @@ def _shifted_problem(problem, x0, y0, alpha, promote_threshold,
     x0_used = np.where(fix_lo, lo0, np.where(fix_hi, hi0, x0))
     if q.nnz > 0:
         grad = grad + q @ (x0_used - x0)
-    b_hat = alpha * (np.asarray(problem.right_hand_side)[perm]
-                     - a_perm @ x0_used)
+    b_hat = alpha * (
+        np.asarray(problem.right_hand_side) - a @ x0_used
+    )
     c_hat = alpha * np.where(fixed, 0.0, grad)
     lo = np.where(fixed, 0.0, alpha * (lo0 - x0_used))
     hi = np.where(fixed, 0.0, alpha * (hi0 - x0_used))
@@ -279,24 +289,93 @@ def _shifted_problem(problem, x0, y0, alpha, promote_threshold,
     # any plausible correction, so clamp the slack at a cap comfortably
     # above the active scale; a correction large enough to hit the cap
     # would fail f64 certification and fall back.
-    n_act = int(k + len(promoted))
     slack_cap = 1e2 * (
-        1.0 + np.max(np.abs(b_hat[:n_act]), initial=0.0)
+        1.0 + np.max(np.abs(b_hat[eq_mask]), initial=0.0)
     )
-    b_hat[n_act:] = np.maximum(b_hat[n_act:], -slack_cap)
-    from .problem import QuadraticProgrammingProblem
+    b_hat[~eq_mask] = np.maximum(b_hat[~eq_mask], -slack_cap)
+    return c_hat, b_hat, lo, hi, eq_mask, y0_used, x0_used
 
-    shifted = QuadraticProgrammingProblem(
-        variable_lower_bound=lo,
-        variable_upper_bound=hi,
-        objective_matrix=q,
-        objective_vector=c_hat,
-        objective_constant=0.0,
-        constraint_matrix=sp.csc_matrix(a_perm),
-        right_hand_side=b_hat,
-        num_equalities=int(k + len(promoted)),
+
+def _prepare_shifted_fast(prepared, params, c_hat, b_hat, lo, hi,
+                          eq_mask):
+    """PreparedProblem for the shifted solve by VECTOR SWAP on the
+    phase-1 prepared state: A (and Q) are unchanged, so the scaled and
+    original device operators, the Ruiz/PC rescaling vectors and the
+    initial step size (1/max|A_scaled|) are reused verbatim; only the
+    problem vectors (scaled on host with the phase-1 cumulative
+    vectors), the is_equality mask and the qp-cache norms change. Zero
+    tile-plan builds, zero matrix transfers."""
+    import jax.numpy as jnp
+
+    from .ops.device_problem import DeviceQpCache
+
+    bundle = prepared.bundle
+    sp_prob = prepared.scaled_problem
+    cum_var = np.asarray(sp_prob.variable_rescaling, np.float64)
+    cum_con = np.asarray(sp_prob.constraint_rescaling, np.float64)
+    c_s = c_hat / cum_var
+    b_s = b_hat / cum_con
+    lo_s = lo * cum_var
+    hi_s = hi * cum_var
+    f32 = bundle.scaled.objective_vector.dtype
+    sdt = bundle.original.objective_vector.dtype
+    eq = jnp.asarray(eq_mask)
+
+    def swap(qp, dt, c, b, lov, hiv):
+        return dataclasses.replace(
+            qp,
+            variable_lower_bound=jnp.asarray(lov, dt),
+            variable_upper_bound=jnp.asarray(hiv, dt),
+            objective_vector=jnp.asarray(c, dt),
+            objective_constant=jnp.zeros((), dt),
+            right_hand_side=jnp.asarray(b, dt),
+            is_equality=eq,
+        )
+
+    new_bundle = dataclasses.replace(
+        bundle,
+        scaled=swap(bundle.scaled, f32, c_s, b_s, lo_s, hi_s),
+        original=swap(bundle.original, sdt, c_hat, b_hat, lo, hi),
+        qp_cache=DeviceQpCache(
+            l_inf_norm_primal_linear_objective=jnp.asarray(
+                np.max(np.abs(c_hat), initial=0.0), sdt
+            ),
+            l_inf_norm_primal_right_hand_side=jnp.asarray(
+                np.max(np.abs(b_hat), initial=0.0), sdt
+            ),
+            l2_norm_primal_linear_objective=jnp.asarray(
+                np.linalg.norm(c_hat), sdt
+            ),
+            l2_norm_primal_right_hand_side=jnp.asarray(
+                np.linalg.norm(b_hat), sdt
+            ),
+        ),
     )
-    return shifted, perm, y0_used, x0_used
+    state = _pdhg._initial_state(new_bundle, f32)
+    import types
+
+    from .models.common import initial_primal_weight_host
+
+    pw = initial_primal_weight_host(
+        types.SimpleNamespace(
+            objective_vector=c_s, right_hand_side=b_s
+        ),
+        params.primal_importance,
+        params.scale_invariant_initial_primal_weight,
+        0,
+    )
+    state = dataclasses.replace(
+        state,
+        # same scaled A as phase 1 => same 1/max|A| initial step
+        step_size=prepared.initial_state.step_size.astype(f32),
+        primal_weight=jnp.asarray(pw, f32),
+        cumulative_kkt_passes=jnp.asarray(0.5, jnp.float64),
+    )
+    return _pdhg.PreparedProblem(
+        scaled_problem=sp_prob,
+        bundle=new_bundle,
+        initial_state=state,
+    )
 
 
 def _certified(prepared, criteria, x, y):
@@ -439,18 +518,19 @@ def optimize_iterative_refinement(
         promote_threshold = (
             np.sqrt(res) * y_scale if y_scale > 0 else np.inf
         )
-        shifted, perm, y0_used, x0_used = _shifted_problem(
-            problem, x, y, alpha, promote_threshold,
-            rel_tol=np.sqrt(res),
+        c_hat, b_hat, lo_hat, hi_hat, eq_mask, y0_used, x0_used = (
+            _shifted_data(
+                problem, x, y, alpha, promote_threshold,
+                rel_tol=np.sqrt(res),
+            )
         )
         sub_params = phase1_params(params, sub_tolerance)
         sub_params = dataclasses.replace(
             sub_params,
             verbosity=0,
-            # the refined solve's internal stats don't need f64 (the
-            # certification here is the f64 authority); f32 stats skip
-            # the shifted problem's f64-ELL ingest entirely.
-            stats_dtype=None,
+            # the sub-solve must never touch the caller's checkpoint
+            checkpoint_path=None,
+            resume_from_checkpoint=None,
             termination_criteria=dataclasses.replace(
                 sub_params.termination_criteria,
                 # fixed cap (criteria are static config: a per-problem
@@ -460,7 +540,10 @@ def optimize_iterative_refinement(
                 iteration_limit=min(int(crit.iteration_limit), 10_000),
             ),
         )
-        sub = _pdhg.optimize(sub_params, shifted)
+        prep_shift = _prepare_shifted_fast(
+            prepared, sub_params, c_hat, b_hat, lo_hat, hi_hat, eq_mask
+        )
+        sub = _pdhg.optimize(sub_params, problem, prepared=prep_shift)
         # NUMERICAL_ERROR on the shifted solve usually means movement
         # hit zero at f32 exactness, and a capped (ITERATION_LIMIT)
         # solve still carries a partial correction - both are applied
@@ -476,9 +559,7 @@ def optimize_iterative_refinement(
         if sub.termination_reason not in acceptable:
             break
         u = np.asarray(sub.primal_solution, np.float64)
-        v_perm = np.asarray(sub.dual_solution, np.float64)
-        v = np.empty_like(v_perm)
-        v[perm] = v_perm
+        v = np.asarray(sub.dual_solution, np.float64)
         x = np.clip(
             x0_used + u / alpha,
             problem.variable_lower_bound,

@@ -8,6 +8,7 @@ and the two-process test asserts they partition the matrix).
 """
 
 import os
+import tracemalloc
 
 import numpy as np
 import pytest
