@@ -489,12 +489,16 @@ def optimize_iterative_refinement(
                 ),
                 False,
             )
-        # residual scale sets the shift magnitude
+        # residual scale sets the shift magnitude. Use the CRITERIA's
+        # own relative normalization (residuals over ||b||/||c||-style
+        # denominators, termination.jl:33-45): an ad-hoc /(1+|obj|)
+        # normalization over-estimated the 100k-node PageRank residual
+        # by ~300x (||b|| = sqrt(m)), picked an alpha ~100x too small,
+        # and the mis-scaled shifted solve blew the correction up.
         res = max(
-            conv.l2_primal_residual / (1.0 + abs(conv.primal_objective)),
-            conv.l2_dual_residual / (1.0 + abs(conv.dual_objective)),
-            abs(conv.primal_objective - conv.dual_objective)
-            / (1.0 + abs(conv.primal_objective)),
+            conv.relative_l2_primal_residual,
+            conv.relative_l2_dual_residual,
+            abs(conv.relative_optimality_gap),
             1e-14,
         )
         if res < best_res:
