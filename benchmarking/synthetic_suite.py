@@ -235,6 +235,28 @@ def build_suite(seed=0):
     suite["badly_scaled_2"] = badly_scaled_lp(
         900, 700, 0.01, seed + 56, decades=4
     )
+    # second wave of hard instances (the 1e-4 ladder separates on the
+    # classes vanilla PDHG fails: slow-mixing PageRank, bad row/col
+    # scaling, low-rank-plus-diagonal QPs) - the reference corpus is
+    # dominated by hard MIPLIB relaxations, so the stand-in corpus
+    # needs comparable mass on its hard tail.
+    suite["pagerank_10k"] = generate_pagerank_lp(10000, seed=seed + 57)
+    suite["pagerank_hard_8k"] = generate_pagerank_lp(
+        8000, damping_factor=0.999, seed=seed + 58
+    )
+    suite["badly_scaled_3"] = badly_scaled_lp(
+        1200, 900, 0.008, seed + 59, decades=5
+    )
+    suite["badly_scaled_4"] = badly_scaled_lp(
+        1500, 1000, 0.006, seed + 60, decades=4
+    )
+    suite["box_qp_rank_2"] = random_box_qp(900, 350, seed + 61,
+                                           rank_frac=0.2,
+                                           low_rank_scale=0.5)
+    suite["l1_svm_hard"] = generate_l1_svm_lp(
+        random_svm_data(400, 300, density=0.1, seed=seed + 62),
+        regularizer_weight=0.1,
+    )
     # near-degenerate objective ties
     for i, n in enumerate((400, 700)):
         rng = np.random.default_rng(seed + 40 + i)
