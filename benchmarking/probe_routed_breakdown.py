@@ -82,6 +82,22 @@ def main():
         + op.rmv(op.mv(x))[0] * jnp.float32(1e-30),
     }
 
+    # tile-aligned plan -> fused single-kernel matvecs
+    opf = R.build_routed_op(a, tile_aligned=True)
+    print(
+        f"# fused plan: chunks_r {op.loc_r.shape[0]} -> "
+        f"{opf.loc_r.shape[0]} (+{100.0 * (opf.loc_r.shape[0] / op.loc_r.shape[0] - 1):.0f}%)",
+        file=sys.stderr,
+    )
+    stages["mv_fused"] = lambda x: x + opf.mv(x)[0] * jnp.float32(1e-30)
+    stages["rmv_fused"] = (
+        lambda x: x
+        + opf.rmv(y0 + x[0] * jnp.float32(1e-30))[0] * jnp.float32(1e-30)
+    )
+    stages["kkt_fused"] = (
+        lambda x: x + opf.rmv(opf.mv(x))[0] * jnp.float32(1e-30)
+    )
+
     @jax.jit
     def null(x, r):
         return x

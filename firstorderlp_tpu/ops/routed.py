@@ -52,6 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HI = lax.Precision.HIGHEST
 
+# Default plan mode for build_routed_op (None arg). Tile-aligned plans
+# run the fused single-kernel matvecs (one launch, no HBM intermediate,
+# no chunk gather) for < group_rows chunks of padding per nonempty tile.
+# FOLP_TILE_ALIGNED=0/1 overrides (benchmark A/B knob).
+import os as _os
+
+DEFAULT_TILE_ALIGNED = _os.environ.get("FOLP_TILE_ALIGNED", "0") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Pallas kernels
@@ -63,40 +71,13 @@ def _expand_body(shift, rows, s_ref, xs_ref, loc_ref, g_ref):
     b = lc & (B2-1). loc packs (local_col | local_row << 16); the low
     half is used here."""
     del s_ref
-    b2 = xs_ref.shape[2]
     k = rows * 128
-    xw = xs_ref[0]  # (128, B2)
-    loc = loc_ref[...].reshape(1, k) & 0xFFFF
-    a_idx = loc >> shift
-    b_idx = loc & (b2 - 1)
-    o_a = (
-        lax.broadcasted_iota(jnp.int32, (128, k), 0) == a_idx
-    ).astype(jnp.bfloat16)
     # Exact 3-term bf16 split of the f32 window (hi+mid+lo covers all
     # 24 mantissa bits); the one-hot side is exactly 0/1 in bf16, so
     # three DEFAULT-precision passes reproduce HIGHEST's result at half
     # the MXU cost (HIGHEST decomposes BOTH sides -> 6 passes).
-    xw_hi = xw.astype(jnp.bfloat16)
-    r1 = xw - xw_hi.astype(jnp.float32)
-    xw_mid = r1.astype(jnp.bfloat16)
-    xw_lo = (r1 - xw_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    dn = (((0,), (0,)), ((), ()))
-    c_t = (
-        lax.dot_general(
-            xw_hi, o_a, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-        + lax.dot_general(
-            xw_mid, o_a, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-        + lax.dot_general(
-            xw_lo, o_a, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-    )  # (B2, k): c_t[b, kk] = xw[a_kk, b]
-    b_mask = lax.broadcasted_iota(jnp.int32, (b2, k), 0) == b_idx
-    g = jnp.sum(jnp.where(b_mask, c_t, 0.0), axis=0, keepdims=True)
+    loc = loc_ref[...].reshape(1, k) & 0xFFFF
+    g = _expand_halves(xs_ref[0], loc, shift, k)
     g_ref[...] = g.reshape(rows, 128)
 
 
@@ -206,6 +187,244 @@ def _make_reduce(ngroups, nstrips, hr, rows, shift16, interpret):
         functools.partial(_reduce_body, hr, rows, shift16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _expand_halves(xw, loc_lo, shift, k):
+    """One-hot MXU gather g[kk] = xw[a_kk, b_kk] (a = loc >> shift,
+    b = loc & (b2-1)) with the 3-term bf16 split of the window (exact:
+    see _expand_body). Returns (1, k) f32."""
+    b2 = xw.shape[1]
+    a_idx = loc_lo >> shift
+    b_idx = loc_lo & (b2 - 1)
+    o_a = (
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == a_idx
+    ).astype(jnp.bfloat16)
+    xw_hi = xw.astype(jnp.bfloat16)
+    r1 = xw - xw_hi.astype(jnp.float32)
+    xw_mid = r1.astype(jnp.bfloat16)
+    xw_lo = (r1 - xw_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    c_t = (
+        lax.dot_general(
+            xw_hi, o_a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + lax.dot_general(
+            xw_mid, o_a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        + lax.dot_general(
+            xw_lo, o_a, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    )  # (b2, k): c_t[b, kk] = xw[a_kk, b]
+    b_mask = lax.broadcasted_iota(jnp.int32, (b2, k), 0) == b_idx
+    return jnp.sum(jnp.where(b_mask, c_t, 0.0), axis=0, keepdims=True)
+
+
+def _fused_body(shift, rows, hr, meta_ref, xs_ref, vals_ref, loc_ref, y_ref):
+    """Single-kernel routed matvec step: expand + scatter in one body.
+
+    Requires a TILE-ALIGNED plan (every group's chunks come from one
+    (row-strip x col-strip) tile, so one input window and one output
+    strip serve the whole group). Replaces the 3-op chain
+    expand -> chunk-gather -> reduce: no intermediate g in HBM, no
+    gather, one kernel launch per matvec."""
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[i, 1] == 1)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    k = rows * 128
+    loc = loc_ref[...].reshape(1, k)
+    g = _expand_halves(xs_ref[0], loc & 0xFFFF, shift, k)
+    p = g * vals_ref[...].reshape(1, k)
+    hi_half = loc >> 16
+    y_ref[0] = y_ref[0] + _scatter_matmul(
+        hr, k, p, hi_half & 127, hi_half >> 7
+    )
+
+
+def _fused_dual_body(
+    shift, rows, hr, meta_ref, xs_ref, vals_ref, loc_ref, yin_ref,
+    b_ref, eq_ref, sig_ref, y_ref, part_ref
+):
+    """_fused_body + the PDHG dual-step epilogue of _reduce_dual_body."""
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[i, 1] == 1)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    k = rows * 128
+    loc = loc_ref[...].reshape(1, k)
+    g = _expand_halves(xs_ref[0], loc & 0xFFFF, shift, k)
+    p = g * vals_ref[...].reshape(1, k)
+    hi_half = loc >> 16
+    y_ref[0] = y_ref[0] + _scatter_matmul(
+        hr, k, p, hi_half & 127, hi_half >> 7
+    )
+
+    @pl.when(meta_ref[i, 2] == 1)
+    def _():
+        az = y_ref[0]
+        yin = yin_ref[0]
+        cand = yin + sig_ref[0, 0] * (b_ref[0] - az)
+        ynext = jnp.where(eq_ref[0] != 0, cand, jnp.maximum(cand, 0.0))
+        y_ref[0] = ynext
+        dy = ynext - yin
+        rid = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cid = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        part_ref[0] = jnp.where(
+            (rid == 0) & (cid == 0), jnp.sum(dy * dy), 0.0
+        )
+
+
+def _fused_rmv_stats_body(
+    shift, rows, hr, meta_ref, xs_ref, vals_ref, loc_ref, dx_ref,
+    atyold_ref, out_ref, part_ref
+):
+    """_fused_body + the step-control epilogue of _reduce_rmv_stats_body."""
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[i, 1] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    k = rows * 128
+    loc = loc_ref[...].reshape(1, k)
+    g = _expand_halves(xs_ref[0], loc & 0xFFFF, shift, k)
+    p = g * vals_ref[...].reshape(1, k)
+    hi_half = loc >> 16
+    out_ref[0] = out_ref[0] + _scatter_matmul(
+        hr, k, p, hi_half & 127, hi_half >> 7
+    )
+
+    @pl.when(meta_ref[i, 2] == 1)
+    def _():
+        aty = out_ref[0]
+        dx = dx_ref[0]
+        rid = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cid = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        inter = jnp.sum(dx * (aty - atyold_ref[0]))
+        dx2 = jnp.sum(dx * dx)
+        part_ref[0] = jnp.where(
+            (rid == 0) & (cid == 0),
+            inter,
+            jnp.where((rid == 0) & (cid == 1), dx2, 0.0),
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(ngroups, nstrips, b2, hr, rows, shift, interpret):
+    """Fused matvec kernel over a tile-aligned plan. meta columns:
+    [out strip, first, last, in strip]."""
+    chunk_block = pl.BlockSpec(
+        (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 128, b2), lambda i, s: (s[i, 3], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            chunk_block,
+            chunk_block,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hr, 128), lambda i, s: (s[i, 0], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_body, shift, rows, hr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_dual(ngroups, nstrips, b2, hr, rows, shift, interpret):
+    strip_block = pl.BlockSpec(
+        (1, hr, 128), lambda i, s: (s[i, 0], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    chunk_block = pl.BlockSpec(
+        (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 128, b2), lambda i, s: (s[i, 3], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            chunk_block, chunk_block, strip_block, strip_block,
+            strip_block,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            strip_block,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, s: (s[i, 0], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_dual_body, shift, rows, hr),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nstrips, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_rmv_stats(ngroups, nstrips, b2, hr, rows, shift, interpret):
+    strip_block = pl.BlockSpec(
+        (1, hr, 128), lambda i, s: (s[i, 0], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    chunk_block = pl.BlockSpec(
+        (rows, 128), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 128, b2), lambda i, s: (s[i, 3], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            chunk_block, chunk_block, strip_block, strip_block,
+        ],
+        out_specs=(
+            strip_block,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, s: (s[i, 0], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_rmv_stats_body, shift, rows, hr),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nstrips, hr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nstrips, 8, 128), jnp.float32),
+        ),
         interpret=interpret,
     )
 
@@ -403,6 +622,12 @@ class RoutedOp:
     pattern_hash: str = dataclasses.field(
         default="", metadata=dict(static=True)
     )
+    # tile-aligned plan: every group within one tile; meta has 4 columns
+    # [out strip, first, last, in strip] and mv/rmv run as ONE fused
+    # expand+scatter kernel (no HBM intermediate, no chunk gather).
+    tile_aligned: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -421,6 +646,15 @@ class RoutedOp:
                 x.astype(jnp.float32), (0, self.cb * wc - self.num_cols)
             )
             xs = xp.reshape(self.cb, 128, self.b2)
+            if self.tile_aligned:
+                fused = _make_fused(
+                    self.meta_r.shape[0], self.rb, self.b2, self.hr,
+                    self.group_rows, shift, interp,
+                )
+                y = fused(self.meta_r, xs, self.vals_r, self.loc_r)
+                return y.reshape(self.rb * hr128)[: self.num_rows].astype(
+                    x.dtype
+                )
             expand = _make_expand(
                 self.strip_e.shape[0],
                 self.cb,
@@ -452,6 +686,17 @@ class RoutedOp:
                 y.astype(jnp.float32), (0, self.rb * hr128 - self.num_rows)
             )
             ys = yp.reshape(self.rb, 128, self.hr)
+            if self.tile_aligned:
+                fused = _make_fused(
+                    self.meta_e.shape[0], self.cb, self.hr, self.b2,
+                    self.group_rows, shift, interp,
+                )
+                xout = fused(
+                    self.meta_e, ys, self.vals_e, self._loc_e_swapped()
+                )
+                return xout.reshape(self.cb * wc)[: self.num_cols].astype(
+                    y.dtype
+                )
             # expansion over row strips using the HIGH (row) half: shift
             # the packed loc so the expand kernel's low-half read sees it.
             expand = _make_expand(
@@ -501,21 +746,32 @@ class RoutedOp:
                 z.astype(jnp.float32), (0, self.cb * wc - self.num_cols)
             )
             zs = zp.reshape(self.cb, 128, self.b2)
-            expand = _make_expand(
-                self.strip_e.shape[0], self.cb, self.b2,
-                self.group_rows, shift, interp,
-            )
-            g = expand(self.strip_e, zs, self.loc_e)
-            gr = _chunk_gather(g, self.chunk_src_r)
-            reduce_ = _make_reduce_dual(
-                self.meta_r.shape[0], self.rb, self.hr,
-                self.group_rows, interp,
-            )
-            y_next_strips, parts = reduce_(
-                self.meta_r, gr, self.vals_r, self.loc_r,
-                y_strips, b_strips, eq_strips,
-                jnp.asarray(sigma, jnp.float32).reshape(1, 1),
-            )
+            if self.tile_aligned:
+                fused = _make_fused_dual(
+                    self.meta_r.shape[0], self.rb, self.b2, self.hr,
+                    self.group_rows, shift, interp,
+                )
+                y_next_strips, parts = fused(
+                    self.meta_r, zs, self.vals_r, self.loc_r,
+                    y_strips, b_strips, eq_strips,
+                    jnp.asarray(sigma, jnp.float32).reshape(1, 1),
+                )
+            else:
+                expand = _make_expand(
+                    self.strip_e.shape[0], self.cb, self.b2,
+                    self.group_rows, shift, interp,
+                )
+                g = expand(self.strip_e, zs, self.loc_e)
+                gr = _chunk_gather(g, self.chunk_src_r)
+                reduce_ = _make_reduce_dual(
+                    self.meta_r.shape[0], self.rb, self.hr,
+                    self.group_rows, interp,
+                )
+                y_next_strips, parts = reduce_(
+                    self.meta_r, gr, self.vals_r, self.loc_r,
+                    y_strips, b_strips, eq_strips,
+                    jnp.asarray(sigma, jnp.float32).reshape(1, 1),
+                )
             dy2 = jnp.sum(parts[:, 0, 0])
         y_next = y_next_strips.reshape(self.rb * hr128)[: self.num_rows]
         return y_next, y_next_strips, dy2
@@ -528,20 +784,30 @@ class RoutedOp:
         interp = self._interpret()
         with jax.enable_x64(False):
             ys = y_strips.reshape(self.rb, 128, self.hr)
-            expand = _make_expand(
-                self.strip_r.shape[0], self.rb, self.hr,
-                self.group_rows, shift, interp,
-            )
-            g = expand(self.strip_r, ys, self._loc_r_swapped())
-            ge = _chunk_gather(g, self.chunk_src_e)
-            reduce_ = _make_reduce_rmv_stats(
-                self.meta_e.shape[0], self.cb, self.b2,
-                self.group_rows, interp,
-            )
-            aty_strips, parts = reduce_(
-                self.meta_e, ge, self.vals_e, self.loc_e,
-                dx_strips, atyold_strips,
-            )
+            if self.tile_aligned:
+                fused = _make_fused_rmv_stats(
+                    self.meta_e.shape[0], self.cb, self.hr, self.b2,
+                    self.group_rows, shift, interp,
+                )
+                aty_strips, parts = fused(
+                    self.meta_e, ys, self.vals_e, self._loc_e_swapped(),
+                    dx_strips, atyold_strips,
+                )
+            else:
+                expand = _make_expand(
+                    self.strip_r.shape[0], self.rb, self.hr,
+                    self.group_rows, shift, interp,
+                )
+                g = expand(self.strip_r, ys, self._loc_r_swapped())
+                ge = _chunk_gather(g, self.chunk_src_e)
+                reduce_ = _make_reduce_rmv_stats(
+                    self.meta_e.shape[0], self.cb, self.b2,
+                    self.group_rows, interp,
+                )
+                aty_strips, parts = reduce_(
+                    self.meta_e, ge, self.vals_e, self.loc_e,
+                    dx_strips, atyold_strips,
+                )
             interaction = jnp.sum(parts[:, 0, 0])
             dx2 = jnp.sum(parts[:, 0, 1])
         aty = aty_strips.reshape(self.cb * wc)[: self.num_cols]
@@ -588,11 +854,18 @@ class PlanArrays:
 
 
 def build_plan_arrays(
-    csr: sp.csr_matrix, group_rows: int, b2: int, hr: int
+    csr: sp.csr_matrix, group_rows: int, b2: int, hr: int,
+    tile_aligned: bool = False,
 ) -> PlanArrays:
     """Builds the numpy tile-plan arrays (the core of build_routed_op,
     shared with the sharded block builder; empty blocks allowed - they
-    produce one all-zero group per strip)."""
+    produce one all-zero group per strip).
+
+    tile_aligned: pad each TILE's chunk span to a multiple of
+    group_rows so every kernel group lies within one tile; meta gains a
+    4th column (the group's input strip) and RoutedOp runs the fused
+    single-kernel matvecs. Costs < group_rows chunks padding per
+    nonempty tile."""
     m, n = csr.shape
     coo = csr.tocoo()
     nnz = coo.nnz
@@ -626,6 +899,14 @@ def build_plan_arrays(
     r_tile_order = tile_ids  # sorted by (row strip, col strip)
     e_tile_order = np.argsort(tile_cs * rb + tile_rs, kind="stable")
 
+    # tile-aligned mode pads every tile's span; a group then never
+    # crosses a tile boundary and has a well-defined input strip.
+    cc_of_tile = (
+        -(-tile_chunks // group_rows) * group_rows
+        if tile_aligned
+        else tile_chunks
+    )
+
     def layout(tile_order, strip_of_tile, nstrips):
         """Padded chunk layout for one order (tiles strip-contiguous).
 
@@ -634,13 +915,13 @@ def build_plan_arrays(
         block zero-initialized). Returns (per-tile chunk start, total
         chunks, groups per strip)."""
         strip_chunks = np.bincount(
-            strip_of_tile, weights=tile_chunks.astype(np.float64),
+            strip_of_tile, weights=cc_of_tile.astype(np.float64),
             minlength=nstrips,
         ).astype(np.int64)
         padded = np.maximum(-(-strip_chunks // group_rows), 1) * group_rows
         strip_chunk_start = np.zeros(nstrips + 1, dtype=np.int64)
         np.cumsum(padded, out=strip_chunk_start[1:])
-        cc = tile_chunks[tile_order]
+        cc = cc_of_tile[tile_order]
         strips = strip_of_tile[tile_order]
         within = np.cumsum(cc) - cc
         change = np.ones(ntiles, dtype=bool)
@@ -689,27 +970,55 @@ def build_plan_arrays(
     strip_e_groups = np.repeat(np.arange(cb, dtype=np.int32), egroups)
     strip_r_groups = np.repeat(np.arange(rb, dtype=np.int32), rgroups)
 
-    def first_flags(strips):
+    def first_flags(strips, in_strips=None):
         # columns: [strip id, first-group-of-strip, last-group-of-strip]
-        meta = np.zeros((len(strips), 3), dtype=np.int32)
+        # (+ input strip id per group in tile-aligned mode)
+        cols = 3 if in_strips is None else 4
+        meta = np.zeros((len(strips), cols), dtype=np.int32)
         meta[:, 0] = strips
         meta[0, 1] = 1
         meta[1:, 1] = (strips[1:] != strips[:-1]).astype(np.int32)
         meta[-1, 2] = 1
         meta[:-1, 2] = (strips[1:] != strips[:-1]).astype(np.int32)
+        if in_strips is not None:
+            meta[:, 3] = in_strips
         return meta
+
+    def group_in_strips(starts, nchunks, in_strip_of_tile):
+        # input strip of each group (groups never span tiles here;
+        # all-padding groups from empty strips read window 0 of zeros).
+        chunk_in = np.zeros(nchunks, dtype=np.int32)
+        t_nz = np.flatnonzero(cc_of_tile)
+        c = cc_of_tile[t_nz]
+        within = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(c) - c, c
+        )
+        chunk_in[np.repeat(starts[t_nz], c) + within] = np.repeat(
+            in_strip_of_tile[t_nz], c
+        )
+        return chunk_in[::group_rows]
+
+    in_e = (
+        group_in_strips(start_e, nchunks_e, tile_rs) if tile_aligned
+        else None
+    )
+    in_r = (
+        group_in_strips(start_r, nchunks_r, tile_cs) if tile_aligned
+        else None
+    )
 
     return PlanArrays(
         loc_e=loc_e.reshape(nchunks_e, 128),
         vals_e=vals_e.reshape(nchunks_e, 128),
         strip_e=strip_e_groups,
-        meta_e=first_flags(strip_e_groups),
+        meta_e=first_flags(strip_e_groups, in_e),
         chunk_src_e=chunk_src_e,
         loc_r=loc_r.reshape(nchunks_r, 128),
         vals_r=vals_r.reshape(nchunks_r, 128),
         strip_r=strip_r_groups,
-        meta_r=first_flags(strip_r_groups),
+        meta_r=first_flags(strip_r_groups, in_r),
         chunk_src_r=chunk_src_r,
+        tile_aligned=bool(tile_aligned),
         num_rows=m,
         num_cols=n,
         b2=int(b2),
@@ -726,6 +1035,7 @@ def build_routed_op(
     b2: "int | None" = None,
     hr: "int | None" = None,
     share_plan_with: "RoutedOp | None" = None,
+    tile_aligned: "bool | None" = None,
 ) -> RoutedOp:
     """Builds the tile plan for `matrix` (host side, vectorized numpy).
 
@@ -741,6 +1051,9 @@ def build_routed_op(
     if share_plan_with is not None:
         donor = share_plan_with
         group_rows, b2, hr = donor.group_rows, donor.b2, donor.hr
+        tile_aligned = donor.tile_aligned
+    if tile_aligned is None:
+        tile_aligned = DEFAULT_TILE_ALIGNED
     csr = sp.csr_matrix(matrix)
     csr.sum_duplicates()
     m, n = csr.shape
@@ -763,7 +1076,7 @@ def build_routed_op(
         if hr is None:
             hr = auto_hr
 
-    plan = build_plan_arrays(csr, group_rows, b2, hr)
+    plan = build_plan_arrays(csr, group_rows, b2, hr, tile_aligned)
 
     if share_plan_with is not None:
         if donor.pattern_hash != pattern_hash:
@@ -795,4 +1108,5 @@ def build_routed_op(
         rb=plan.rb,
         group_rows=plan.group_rows,
         pattern_hash=pattern_hash,
+        tile_aligned=plan.tile_aligned,
     )

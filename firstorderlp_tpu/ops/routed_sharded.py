@@ -56,6 +56,7 @@ class RoutedShardPlan:
     b2: int
     hr: int
     group_rows: int = 32
+    tile_aligned: bool = False
 
     @property
     def n_dual(self) -> int:
@@ -120,6 +121,9 @@ class ShardedRoutedOp:
     mesh: Mesh = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    tile_aligned: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -149,6 +153,7 @@ class ShardedRoutedOp:
             rb=self.rb,
             group_rows=self.group_rows,
             pattern_hash="",
+            tile_aligned=self.tile_aligned,
         )
 
     def _plan_leaves(self):
@@ -237,7 +242,8 @@ def build_sharded_routed_op(
             )
             blocks.append(
                 build_plan_arrays(
-                    block, plan.group_rows, plan.b2, plan.hr
+                    block, plan.group_rows, plan.b2, plan.hr,
+                    plan.tile_aligned,
                 )
             )
 
@@ -261,7 +267,7 @@ def build_sharded_routed_op(
 
     def pad_groups_meta(a, target, nstrips):
         pad = target - a.shape[0]
-        extra = np.zeros((pad, 3), dtype=a.dtype)
+        extra = np.zeros((pad, a.shape[1]), dtype=a.dtype)
         extra[:, 0] = nstrips - 1  # strip id; first/last flags stay 0
         return np.concatenate([a, extra])
 
@@ -325,5 +331,6 @@ def build_sharded_routed_op(
         rb=rb,
         group_rows=plan.group_rows,
         mesh=mesh,
+        tile_aligned=plan.tile_aligned,
         **device,
     )

@@ -25,14 +25,15 @@ def random_matrix(rng, m, n, nnz):
     return a
 
 
+@pytest.mark.parametrize("tile_aligned", [False, True])
 @pytest.mark.parametrize(
     "m,n,nnz",
     [(300, 500, 4000), (129, 257, 600), (50, 60, 200), (1000, 90, 5000)],
 )
-def test_matches_scipy(m, n, nnz):
+def test_matches_scipy(m, n, nnz, tile_aligned):
     rng = np.random.default_rng(m + n)
     a = random_matrix(rng, m, n, nnz)
-    op = build_routed_op(a, group_rows=4)
+    op = build_routed_op(a, group_rows=4, tile_aligned=tile_aligned)
     x = rng.normal(size=n).astype(np.float32)
     y = rng.normal(size=m).astype(np.float32)
     a32 = a.astype(np.float32)
@@ -46,7 +47,8 @@ def test_matches_scipy(m, n, nnz):
     )
 
 
-def test_pathological_structures():
+@pytest.mark.parametrize("tile_aligned", [False, True])
+def test_pathological_structures(tile_aligned):
     """Hub row/column, empty rows and columns, single entry."""
     rng = np.random.default_rng(7)
     m, n = 400, 300
@@ -61,7 +63,7 @@ def test_pathological_structures():
     d = rng.normal(size=500)
     a = sp.coo_matrix((d, (rows, cols)), shape=(m, n)).tocsr()
     a.sum_duplicates()
-    op = build_routed_op(a, group_rows=2)
+    op = build_routed_op(a, group_rows=2, tile_aligned=tile_aligned)
     x = rng.normal(size=n).astype(np.float32)
     y = rng.normal(size=m).astype(np.float32)
     a32 = a.astype(np.float32)
@@ -186,15 +188,18 @@ def test_qp_objective_matrix_routed():
     )
 
 
+@pytest.mark.parametrize("tile_aligned", [False, True])
 @pytest.mark.parametrize("b2,hr,gr", [
     (1, 4, 2), (2, 2, 8), (4, 1, 4), (8, 8, 2), (2, 8, 16),
 ])
-def test_geometry_sweep(b2, hr, gr):
+def test_geometry_sweep(b2, hr, gr, tile_aligned):
     """Plan correctness across strip/group geometries (tile padding,
     group padding, chunk routing all shift with these)."""
     rng = np.random.default_rng(b2 * 100 + hr * 10 + gr)
     a = random_matrix(rng, 700, 500, 6000)
-    op = build_routed_op(a, group_rows=gr, b2=b2, hr=hr)
+    op = build_routed_op(
+        a, group_rows=gr, b2=b2, hr=hr, tile_aligned=tile_aligned
+    )
     x = rng.normal(size=500).astype(np.float32)
     y = rng.normal(size=700).astype(np.float32)
     a32 = a.astype(np.float32)
@@ -208,11 +213,12 @@ def test_geometry_sweep(b2, hr, gr):
     )
 
 
-def test_fused_dual_and_stats_match_composed():
+@pytest.mark.parametrize("tile_aligned", [False, True])
+def test_fused_dual_and_stats_match_composed(tile_aligned):
     """mv_dual_step / rmv_stats == the composed mv/rmv + XLA ops."""
     rng = np.random.default_rng(31)
     a = random_matrix(rng, 300, 400, 4000)
-    op = build_routed_op(a, group_rows=4)
+    op = build_routed_op(a, group_rows=4, tile_aligned=tile_aligned)
     a32 = a.astype(np.float32)
     z = rng.normal(size=400).astype(np.float32)
     y = rng.normal(size=300).astype(np.float32)

@@ -38,13 +38,18 @@ def _padded_random(m0, n0, density, plan, rng):
     return sp.csr_matrix(a)
 
 
+import dataclasses as _dc
+
+
+@pytest.mark.parametrize("tile_aligned", [False, True])
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
-def test_matvecs_match_scipy(mesh_shape):
+def test_matvecs_match_scipy(mesh_shape, tile_aligned):
     assert len(jax.devices()) >= 8, "conftest should give 8 CPU devices"
     mesh = solver_mesh(*mesh_shape)
     rng = np.random.default_rng(0)
     m0, n0 = 913, 1531
     plan = plan_routed_shards(m0, n0, int(0.01 * m0 * n0), mesh)
+    plan = _dc.replace(plan, tile_aligned=tile_aligned)
     a = _padded_random(m0, n0, 0.01, plan, rng)
     op = build_sharded_routed_op(a, plan)
     assert op.shape == a.shape
