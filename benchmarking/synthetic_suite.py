@@ -159,8 +159,107 @@ def badly_scaled_lp(m, n, density, seed, decades=3):
     )
 
 
+def heavy_tailed_lp(m, n, density, seed, sigma=2.5):
+    """Random LP whose nonzero MAGNITUDES are lognormal(sigma): the
+    per-entry scale spread lives inside rows/columns, so diagonal
+    (Ruiz/PC) equilibration only partially tames it - vanilla PDHG's
+    global step collapses to the worst entry while the scaled+adaptive
+    rungs survive. Models the numerically wild MIPLIB relaxations."""
+    rng = np.random.default_rng(seed)
+
+    def data_rvs(k):
+        return rng.standard_normal(k) * np.exp(
+            sigma * rng.standard_normal(k)
+        )
+
+    a = sp.random(
+        m, n, density=density,
+        random_state=np.random.RandomState(seed),
+        data_rvs=data_rvs, format="csc",
+    )
+    x0 = rng.uniform(0.5, 1.5, n)
+    b = np.asarray(a @ x0).ravel() - rng.uniform(0.1, 1.0, m)
+    c = rng.standard_normal(n) * np.exp(
+        0.5 * sigma * rng.standard_normal(n)
+    )
+    return linear_programming_problem(
+        np.zeros(n), np.full(n, 2.0), c, 0.0, a, b, 0
+    )
+
+
+def transport_hard_lp(num_sources, num_sinks, seed, decades=2):
+    """Transportation LP with costs spread over 10^+-decades and
+    heavy-tailed supplies: the incidence matrix is perfectly scaled
+    (all ones), so the hardness is pure dual degeneracy + objective
+    range - the step-size/primal-weight rungs have to earn it."""
+    rng = np.random.default_rng(seed)
+    base = transport_lp(num_sources, num_sinks, seed)
+    n = num_sources * num_sinks
+    cost = 10.0 ** rng.uniform(-decades, decades, n)
+    return linear_programming_problem(
+        base.variable_lower_bound,
+        base.variable_upper_bound,
+        cost,
+        0.0,
+        base.constraint_matrix,
+        base.right_hand_side,
+        base.num_equalities,
+    )
+
+
+def assignment_ties_lp(size, seed, decades=2):
+    """Assignment relaxation with two-level costs (maximal ties ->
+    massive dual degeneracy) spread over 10^+-decades: every
+    permutation of tied entries is alternately optimal and the
+    objective range forces the adaptive rungs to earn the step."""
+    rng = np.random.default_rng(seed)
+    base = transport_lp(size, size, seed)
+    tier = rng.integers(1, 3, size * size).astype(float)
+    scale = 10.0 ** rng.uniform(-decades, decades, size * size)
+    return linear_programming_problem(
+        base.variable_lower_bound,
+        base.variable_upper_bound,
+        tier * scale,
+        0.0,
+        base.constraint_matrix,
+        base.right_hand_side,
+        base.num_equalities,
+    )
+
+
+def degenerate_hard_lp(m, n, seed, eps=1e-3):
+    """Rank-deficient AND nearly-rank-deficient with a thin feasible
+    sliver: the full row block is duplicated exactly (dependent rows)
+    and again with an eps perturbation whose rhs eats most of the
+    interior point's slack (near-parallel rows, nearly-active)."""
+    base = random_sparse_lp(m, n, 0.02, seed)
+    a0 = base.constraint_matrix
+    rng = np.random.default_rng(seed + 1)
+    perturb = sp.random(
+        m, n, density=0.005,
+        random_state=np.random.RandomState(seed + 2),
+        data_rvs=lambda k: eps * rng.standard_normal(k), format="csc",
+    )
+    a3 = sp.csc_matrix(a0 + perturb)
+    # random_sparse_lp leaves slack >= 0.1 at its interior x0; tighten
+    # the perturbed copies to a ~1e-2 sliver around it (still feasible:
+    # the eps*|x0| perturbation term stays < 9e-3 w.h.p.).
+    rhs3 = base.right_hand_side + 0.09 * rng.uniform(0.5, 1.0, m)
+    a = sp.vstack([a0, a0, a3]).tocsc()
+    rhs = np.concatenate([base.right_hand_side] * 2 + [rhs3])
+    return linear_programming_problem(
+        base.variable_lower_bound,
+        base.variable_upper_bound,
+        base.objective_vector,
+        0.0,
+        a,
+        rhs,
+        0,
+    )
+
+
 def build_suite(seed=0):
-    """28 instances across 11 structural families - the in-repo
+    """42 instances across 15 structural families - the in-repo
     Netlib-stand-in corpus for the benchmark campaign (the reference's
     instance lists are not fetchable in a zero-egress environment)."""
     suite = {
@@ -276,6 +375,32 @@ def build_suite(seed=0):
             ),
             0,
         )
+    # third wave: harden the families vanilla PDHG still cruises at
+    # 1e-4 (transport/assignment/degenerate/random_sparse/ties solve in
+    # 200-3400 KKT passes for every rung; the reference corpus's MIPLIB
+    # relaxations leave vanilla at ~30% solved, so the stand-in corpus
+    # needs hard mass in THESE families too, not only pagerank/scaling).
+    suite["heavy_tailed_1"] = heavy_tailed_lp(
+        600, 800, 0.015, seed + 70, sigma=2.5
+    )
+    suite["heavy_tailed_2"] = heavy_tailed_lp(
+        1000, 700, 0.01, seed + 71, sigma=3.0
+    )
+    suite["transport_hard_1"] = transport_hard_lp(
+        70, 90, seed + 72, decades=2
+    )
+    suite["transport_hard_2"] = transport_hard_lp(
+        100, 120, seed + 73, decades=3
+    )
+    suite["assignment_ties"] = assignment_ties_lp(60, seed + 74)
+    suite["degenerate_hard"] = degenerate_hard_lp(300, 400, seed + 75)
+    suite["pagerank_hard_12k"] = generate_pagerank_lp(
+        12000, damping_factor=0.9995, seed=seed + 76
+    )
+    suite["l1_svm_noisy"] = generate_l1_svm_lp(
+        random_svm_data(500, 400, density=0.05, seed=seed + 77),
+        regularizer_weight=0.02,
+    )
     return suite
 
 
