@@ -32,14 +32,15 @@ def main():
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     b2 = int(sys.argv[3]) if len(sys.argv) > 3 else None
     hr = int(sys.argv[4]) if len(sys.argv) > 4 else None
-    group_rows = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    group_rows = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     problem = generate_pagerank_lp(num_nodes=nodes, seed=0)
     a = problem.constraint_matrix
     m, n = a.shape
     op = build_routed_op(a, group_rows=group_rows, b2=b2, hr=hr)
     print(f"# {m}x{n}, nnz={a.nnz}, geometry b2={op.b2} hr={op.hr} "
-          f"cb={op.cb} rb={op.rb}", file=sys.stderr)
+          f"cb={op.cb} rb={op.rb} group_rows={op.group_rows}",
+          file=sys.stderr)
 
     x0 = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
 

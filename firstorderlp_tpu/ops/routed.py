@@ -83,35 +83,39 @@ def _expand_body(shift, rows, s_ref, xs_ref, loc_ref, g_ref):
 
 def _scatter_matmul(hr, k, p, lo, hi):
     """(hr,128) one-hot scatter-accumulate of p (1,k) at rows hi, lanes
-    lo, via a 3-term bf16 split of the DATA side: m = m_hi+m_mid+m_lo
+    lo, via a 3-term bf16 split of the DATA side: p = p_hi+p_mid+p_lo
     exactly (24 mantissa bits over three 8-bit bf16 terms), the one-hot
-    side is exactly 0/1 in bf16, and every bf16 x bf16 product is exact
-    in the f32 accumulator - so three DEFAULT-precision passes reproduce
-    the f32-accumulation class of HIGHEST (6 passes) at half the MXU
-    cost (the same split the expand kernel uses on its window). The
-    mask select stays in f32 (an i1 mask feeding a bf16 select trips a
-    Mosaic relayout error); the split is applied to the masked matrix."""
-    m = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo, p, 0.0
-    )
-    m_hi = m.astype(jnp.bfloat16)
-    r1 = m - m_hi.astype(jnp.float32)
-    m_mid = r1.astype(jnp.bfloat16)
-    m_lo = (r1 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    sides are exactly 0/1 in bf16, and every bf16 x bf16 product is
+    exact in the f32 accumulator - so three DEFAULT-precision passes
+    reproduce the f32-accumulation class of HIGHEST (6 passes) at half
+    the MXU cost. The split happens on the (1,k) row BEFORE broadcasting
+    (each term times 0/1 is exact in bf16), and the data terms scale the
+    NARROW (hr,k) one-hot rather than the (128,k) one: the VPU-side work
+    per group drops from ~8 f32 passes over (128,k) to two iota-compares
+    plus three bf16 multiplies over (hr,k) (measured 0.066 -> 0.035 ms
+    per reduce pass at 20k nodes). Masked selects with bf16 operands
+    trip a Mosaic relayout error, hence multiplies-by-one-hot."""
+    p_hi = p.astype(jnp.bfloat16)
+    r1 = p - p_hi.astype(jnp.float32)
+    p_mid = r1.astype(jnp.bfloat16)
+    p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    o_lo = (
+        lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo
+    ).astype(jnp.bfloat16)
     o_hi = (
         lax.broadcasted_iota(jnp.int32, (hr, k), 0) == hi
     ).astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((), ()))
     acc = lax.dot_general(
-        o_hi, m_hi, dimension_numbers=dn,
+        o_hi * p_hi, o_lo, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
     acc = acc + lax.dot_general(
-        o_hi, m_mid, dimension_numbers=dn,
+        o_hi * p_mid, o_lo, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
     return acc + lax.dot_general(
-        o_hi, m_lo, dimension_numbers=dn,
+        o_hi * p_lo, o_lo, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
 
@@ -854,7 +858,7 @@ class PlanArrays:
 
 
 def build_plan_arrays(
-    csr: sp.csr_matrix, group_rows: int, b2: int, hr: int,
+    csr: sp.csr_matrix, group_rows: "int | None", b2: int, hr: int,
     tile_aligned: bool = False,
 ) -> PlanArrays:
     """Builds the numpy tile-plan arrays (the core of build_routed_op,
@@ -898,6 +902,29 @@ def build_plan_arrays(
     tile_rs, tile_cs = tile_ids // cb, tile_ids % cb
     r_tile_order = tile_ids  # sorted by (row strip, col strip)
     e_tile_order = np.argsort(tile_cs * rb + tile_rs, kind="stable")
+
+    if group_rows is None:
+        # Pick the group size from the measured cost model
+        #   time ~ a * padded_chunks + b * grid_steps,  b/a ~ 13 chunks
+        # (fit on v5e at 20k/100k-node PageRank, probe_geometry.py):
+        # larger groups cut grid steps (0.173 -> 0.154 ms/KKT pass at
+        # 20k going 32 -> 128) but pad every strip's chunk span to a G
+        # multiple (+23% chunks at 100k, where 64 wins). G=256 exceeds
+        # the 16 MB scoped-VMEM stack; candidates are {32, 64, 128}.
+        def score(g):
+            tot = 0
+            for strip_of_tile, nstrips in ((tile_cs, cb), (tile_rs, rb)):
+                sc = np.bincount(
+                    strip_of_tile, weights=tile_chunks.astype(np.float64),
+                    minlength=nstrips,
+                ).astype(np.int64)
+                ngr = np.maximum(-(-sc // g), 1)  # groups per strip
+                tot += int((ngr * g).sum()) + 13 * int(ngr.sum())
+            return tot
+
+        group_rows = min(
+            (128, 64, 32), key=lambda g: (score(g), -g)
+        )
 
     # tile-aligned mode pads every tile's span; a group then never
     # crosses a tile boundary and has a well-defined input strip.
@@ -1031,7 +1058,7 @@ def build_plan_arrays(
 
 def build_routed_op(
     matrix: sp.spmatrix,
-    group_rows: int = 32,
+    group_rows: "int | None" = None,
     b2: "int | None" = None,
     hr: "int | None" = None,
     share_plan_with: "RoutedOp | None" = None,
@@ -1040,7 +1067,8 @@ def build_routed_op(
     """Builds the tile plan for `matrix` (host side, vectorized numpy).
 
     group_rows: chunks per kernel group (G = group_rows*128 entries per
-    grid step; per-strip padding is < G entries).
+    grid step; per-strip padding is < G chunks). None picks the best of
+    {32, 64, 128} from the measured grid-step-vs-padding cost model.
     b2/hr: strip geometry overrides (Wc = 128*b2, Hr = 128*hr), powers
     of two in [1, 128]; the default targets ~5% tile-padding overhead.
     share_plan_with: an existing RoutedOp over a matrix with the SAME
