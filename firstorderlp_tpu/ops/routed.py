@@ -60,6 +60,10 @@ import os as _os
 
 DEFAULT_TILE_ALIGNED = _os.environ.get("FOLP_TILE_ALIGNED", "0") == "1"
 
+# A/B knob: force a fixed group_rows instead of the cost-model pick
+# (build_routed_op group_rows=None path). Empty/unset = auto.
+_FORCED_GROUP_ROWS = _os.environ.get("FOLP_GROUP_ROWS", "")
+
 
 # ---------------------------------------------------------------------------
 # Pallas kernels
@@ -903,6 +907,8 @@ def build_plan_arrays(
     r_tile_order = tile_ids  # sorted by (row strip, col strip)
     e_tile_order = np.argsort(tile_cs * rb + tile_rs, kind="stable")
 
+    if group_rows is None and _FORCED_GROUP_ROWS:
+        group_rows = int(_FORCED_GROUP_ROWS)
     if group_rows is None:
         # Pick the group size from the measured cost model
         #   time ~ a * padded_chunks + b * grid_steps,  b/a ~ 13 chunks

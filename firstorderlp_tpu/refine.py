@@ -528,7 +528,23 @@ def optimize_iterative_refinement(
                 rel_tol=np.sqrt(res),
             )
         )
-        sub_params = phase1_params(params, sub_tolerance)
+        # Sub-solve accuracy ACTUALLY needed: with alpha = 1e-2/res the
+        # applied correction leaves ~ eps_sub/alpha = 100*eps_sub*res
+        # residual in original units, so a flat 1e-6 overshoots the
+        # caller's tolerance by 100-1000x - at 100k-node PageRank that
+        # ran the shifted solve into the 10k-iteration cap (29.3 s to
+        # 1e-8 instead of ~6 s; phase 1 itself needs only 800 iters).
+        # Target 0.3x the caller's relative tolerance, quantized DOWN
+        # to a decade within [sub_tolerance, 1e-4] (a continuum of
+        # tolerances would defeat the XLA compile cache - termination
+        # criteria are static config baked into the solve segment).
+        eps_target = max(crit.eps_optimal_relative, 1e-12)
+        want = 3e-3 * eps_target / res
+        eps_sub = float(
+            10.0
+            ** np.floor(np.log10(min(1e-4, max(sub_tolerance, want))))
+        )
+        sub_params = phase1_params(params, eps_sub)
         sub_params = dataclasses.replace(
             sub_params,
             verbosity=0,
