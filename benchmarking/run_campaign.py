@@ -1,7 +1,7 @@
 """Benchmark campaign: the in-repo counterpart of the reference's paper
 experiments (scripts/csv/*.csv + scripts/analyze_csv_data.py).
 
-Runs the synthetic suite (42 instances, 15 structural families -
+Runs the synthetic suite (50 instances, 15 structural families -
 benchmarking/synthetic_suite.py) through:
 
 - the PDLP improvements LADDER (reference analyze_csv_data.py:100-115):

@@ -259,7 +259,7 @@ def degenerate_hard_lp(m, n, seed, eps=1e-3):
 
 
 def build_suite(seed=0):
-    """42 instances across 15 structural families - the in-repo
+    """50 instances across 15 structural families - the in-repo
     Netlib-stand-in corpus for the benchmark campaign (the reference's
     instance lists are not fetchable in a zero-egress environment)."""
     suite = {
@@ -400,6 +400,35 @@ def build_suite(seed=0):
     suite["l1_svm_noisy"] = generate_l1_svm_lp(
         random_svm_data(500, 400, density=0.05, seed=seed + 77),
         regularizer_weight=0.02,
+    )
+    # fourth wave: more mass where vanilla PDHG fails but the enhanced
+    # rungs solve quickly. At 42 instances vanilla solves 62% at 1e-4;
+    # the reference's MIPLIB relaxations leave it at ~30% (BASELINE.md
+    # 113/383), so the stand-in corpus is still too easy for the
+    # ladder to separate at the reference's 12-31x. All variants stay
+    # inside existing families (heavy-tailed magnitudes, slow-mixing
+    # PageRank, decade-scaled rows, tied assignments).
+    suite["heavy_tailed_3"] = heavy_tailed_lp(
+        800, 1200, 0.012, seed + 80, sigma=2.8
+    )
+    suite["heavy_tailed_4"] = heavy_tailed_lp(
+        1500, 1100, 0.008, seed + 81, sigma=2.5
+    )
+    suite["heavy_tailed_5"] = heavy_tailed_lp(
+        400, 500, 0.03, seed + 82, sigma=3.5
+    )
+    suite["pagerank_7k"] = generate_pagerank_lp(7000, seed=seed + 83)
+    suite["pagerank_15k"] = generate_pagerank_lp(
+        15000, damping_factor=0.99, seed=seed + 84
+    )
+    suite["pagerank_hard_15k"] = generate_pagerank_lp(
+        15000, damping_factor=0.9995, seed=seed + 85
+    )
+    suite["badly_scaled_5"] = badly_scaled_lp(
+        700, 500, 0.015, seed + 86, decades=3
+    )
+    suite["assignment_ties_2"] = assignment_ties_lp(
+        100, seed + 87, decades=3
     )
     return suite
 
