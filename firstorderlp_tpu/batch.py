@@ -141,6 +141,46 @@ def _run_segment_shared(bundle, state, elapsed_time, config, axes_hash):
     )(bundle, state)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "axes_hash", "num_segments"),
+)
+def _run_segments_shared(
+    bundle, state, elapsed_time, config, axes_hash, num_segments
+):
+    """Fuses up to `num_segments` [evaluate -> steps] fleet segments in
+    one dispatch, early-exiting once EVERY lane has terminated (the
+    fleet counterpart of _pdhg._run_segments). Each dispatch costs a
+    ~30 ms host round trip on tunneled backends, so one-segment
+    dispatches dominate short fleet solves; time-limit checks inside the
+    dispatch reuse the elapsed_time snapshot taken at dispatch."""
+    bundle_axes, state_axes = axes_hash.trees()
+    core = (
+        _mp._segment_core
+        if isinstance(config, _mp._MpConfig)
+        else _pdhg._segment_core
+    )
+    vseg = jax.vmap(
+        lambda b, s: core(b, s, elapsed_time, config),
+        in_axes=(bundle_axes, state_axes),
+        out_axes=(state_axes, 0),
+    )
+    state, result = vseg(bundle, state)
+
+    def cond(carry):
+        _, result, k = carry
+        return jnp.any(result.termination_reason == 0) & (k < num_segments)
+
+    def body(carry):
+        state, _, k = carry
+        state, result = vseg(bundle, state)
+        return (state, result, k + 1)
+
+    state, result, _ = jax.lax.while_loop(
+        cond, body, (state, result, jnp.int64(1))
+    )
+    return state, result
+
+
 class _AxesBox:
     """Hashable wrapper so the vmap axes trees can ride a static arg."""
 
@@ -1060,19 +1100,39 @@ def solve_batch_shared_pattern(
     dispatch_count = 0
     final_results = [None] * num_instances
     lane_time = [0.0] * num_instances
+    evals_per_dispatch = max(
+        1, int(getattr(params, "evaluations_per_dispatch", 1))
+    )
     while True:
         elapsed = time.time() - start_time
-        batched_state, result = _run_segment_shared(
-            batched_bundle,
-            batched_state,
-            jnp.asarray(elapsed, jnp.float64),
-            config,
-            axes_box,
-        )
-        # ONE transfer for the whole result pytree per dispatch: per-leaf
-        # fetches cost a tunnel round trip each (~25 ms on the axon
-        # backend), and there are ~45 leaves x B lanes.
-        host_result = jax.device_get(result)
+        if evals_per_dispatch == 1:
+            batched_state, result = _run_segment_shared(
+                batched_bundle,
+                batched_state,
+                jnp.asarray(elapsed, jnp.float64),
+                config,
+                axes_box,
+            )
+        else:
+            # Chains segments on device (early-exit once every lane is
+            # done): per-lane solve timing coarsens to dispatch
+            # granularity, but each dispatch costs a host round trip.
+            batched_state, result = _run_segments_shared(
+                batched_bundle,
+                batched_state,
+                jnp.asarray(elapsed, jnp.float64),
+                config,
+                axes_box,
+                evals_per_dispatch,
+            )
+        # Fetch ONLY the reason codes per dispatch (one (B,) int32 leaf =
+        # one tunnel round trip). The full ~45-leaf EvalResult costs
+        # ~130 ms/dispatch over the axon tunnel (measured: it was ~60% of
+        # fleet wall-clock); terminated lanes are FROZEN by the
+        # already_terminated guard, so the final dispatch's result
+        # re-reports every lane's values unchanged and one full fetch at
+        # the end is equivalent.
+        reasons = np.asarray(jax.device_get(result.termination_reason))
         dispatch_elapsed = time.time() - start_time
         dispatch_count += 1
         if params.checkpoint_path and (
@@ -1088,16 +1148,18 @@ def solve_batch_shared_pattern(
                 metadata={"dispatches": dispatch_count},
                 fingerprint=fleet_fp,
             )
-        reasons = np.asarray(host_result.termination_reason)
         for i in range(num_instances):
             if final_results[i] is None and reasons[i] != 0:
-                final_results[i] = jax.tree_util.tree_map(
-                    lambda leaf, i=i: leaf[i], host_result
-                )
                 # Solve time is the dispatch at which THIS lane first
                 # terminated, not the whole fleet's wall clock.
+                final_results[i] = True
                 lane_time[i] = dispatch_elapsed
         if all(r is not None for r in final_results):
+            host_result = jax.device_get(result)
+            final_results = [
+                jax.tree_util.tree_map(lambda leaf, i=i: leaf[i], host_result)
+                for i in range(num_instances)
+            ]
             break
 
     outputs = []

@@ -994,9 +994,34 @@ def optimize(
                 config,
                 evals_per_dispatch,
             )
-        # ONE transfer for the whole result pytree: per-leaf fetches cost
-        # a tunnel round trip each (~25 ms on the axon backend) and the
-        # EvalResult has ~45 leaves.
+        # Per-leaf fetches cost a tunnel round trip each (~25 ms on the
+        # axon backend) and the EvalResult has ~45 leaves (~130 ms as one
+        # device_get). When nothing consumes the per-dispatch stats
+        # (record_iteration_stats off, silent verbosity), fetch ONLY the
+        # reason code per dispatch and the full pytree once at the end.
+        light_fetch = (
+            not params.record_iteration_stats and params.verbosity <= 0
+        )
+        if light_fetch:
+            reason_code = int(jax.device_get(result.termination_reason))
+            if reason_code == 0:
+                basic_algorithm_time += time.time() - segment_start
+                dispatch_count += 1
+                if params.checkpoint_path and (
+                    dispatch_count
+                    % max(1, params.checkpoint_every_n_dispatches)
+                    == 0
+                ):
+                    from ..checkpoint import save_state
+
+                    save_state(
+                        params.checkpoint_path,
+                        state,
+                        elapsed_time=time.time() - start_time,
+                        metadata={"iteration": -1},
+                        fingerprint=problem_fp,
+                    )
+                continue
         result = jax.device_get(result)
         reason_code = int(result.termination_reason)
         terminated = reason_code != 0
