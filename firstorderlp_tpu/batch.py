@@ -1033,6 +1033,9 @@ def solve_batch_shared_pattern(
             termination_evaluation_frequency=int(
                 params.termination_evaluation_frequency
             ),
+            need_bound_estimates=bool(
+                params.record_iteration_stats or params.verbosity > 0
+            ),
         )
     else:
         config = _pdhg._PdhgConfig(
@@ -1043,6 +1046,9 @@ def solve_batch_shared_pattern(
             step_policy=params.step_size_policy_params,
             termination_evaluation_frequency=int(
                 params.termination_evaluation_frequency
+            ),
+            need_bound_estimates=bool(
+                params.record_iteration_stats or params.verbosity > 0
             ),
         )
 
@@ -1413,6 +1419,9 @@ def solve_batch(
         step_policy=params.step_size_policy_params,
         termination_evaluation_frequency=int(
             params.termination_evaluation_frequency
+        ),
+        need_bound_estimates=bool(
+            params.record_iteration_stats or params.verbosity > 0
         ),
     )
 

@@ -98,6 +98,9 @@ class _MpConfig:
     criteria: HashableCriteria
     restart_params: RestartParameters
     termination_evaluation_frequency: int
+    # See _PdhgConfig.need_bound_estimates: skip the diagnostics-only
+    # MAX_NORM trust-region solve when nothing records the estimates.
+    need_bound_estimates: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -268,10 +271,14 @@ def _eval_block(bundle: DeviceScaledQp, state: MirrorProxState, elapsed_time,
         elapsed_time,
     )
 
-    lagrangian, est_lb, est_ub = update_objective_bound_estimates(
-        bundle.scaled, avg_primal, avg_dual, state.primal_scaling,
-        state.dual_scaling,
-    )
+    if config.need_bound_estimates:
+        lagrangian, est_lb, est_ub = update_objective_bound_estimates(
+            bundle.scaled, avg_primal, avg_dual, state.primal_scaling,
+            state.dual_scaling,
+        )
+    else:
+        zero = jnp.zeros((), avg_primal.dtype)
+        lagrangian, est_lb, est_ub = zero, zero, zero
 
     terminated = reason != 0
 
@@ -381,6 +388,16 @@ def _segment_core(bundle: DeviceScaledQp, state: MirrorProxState,
 _run_segment = functools.partial(
     jax.jit, static_argnames=("config",)
 )(_segment_core)
+
+
+@jax.jit
+def _final_bound_estimates(bundle, avg_primal, avg_dual, primal_scaling,
+                           dual_scaling):
+    """One-shot recovery of the objective-bound estimates for the final
+    stats entry when config.need_bound_estimates skipped them in-loop."""
+    return update_objective_bound_estimates(
+        bundle.scaled, avg_primal, avg_dual, primal_scaling, dual_scaling
+    )
 
 
 def _initial_state(shim, dtype) -> MirrorProxState:
@@ -555,6 +572,9 @@ def optimize(
         termination_evaluation_frequency=int(
             params.termination_evaluation_frequency
         ),
+        need_bound_estimates=bool(
+            params.record_iteration_stats or params.verbosity > 0
+        ),
     )
 
     display_iteration_stats_heading(params.verbosity)
@@ -614,6 +634,24 @@ def optimize(
         result = jax.device_get(result)
         reason_code = int(result.termination_reason)
         terminated = reason_code != 0
+        if terminated and not config.need_bound_estimates:
+            # The eval block skipped the diagnostics-only bound estimates;
+            # recover them once so the final stats entry keeps parity with
+            # the reference's method_specific_stats (saddle_point.jl:1015).
+            lagr, est_lb, est_ub = jax.device_get(
+                _final_bound_estimates(
+                    bundle,
+                    state.avg_primal_out,
+                    state.avg_dual_out,
+                    state.primal_scaling,
+                    state.dual_scaling,
+                )
+            )
+            result = result._replace(
+                lagrangian_value=lagr,
+                estimated_lower_bound=est_lb,
+                estimated_upper_bound=est_ub,
+            )
         eval_iteration = int(result.iteration)
         basic_algorithm_time += time.time() - segment_start
         dispatch_count += 1

@@ -153,6 +153,11 @@ class _PdhgConfig:
     restart_params: RestartParameters
     step_policy: StepsizePolicy
     termination_evaluation_frequency: int
+    # Estimated objective bounds (MAX_NORM localized gap, reference
+    # saddle_point.jl:1015-1047) are pure method_specific_stats
+    # diagnostics; skip their trust-region solve when nothing records
+    # them (trace-time decision).
+    need_bound_estimates: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -610,10 +615,14 @@ def _eval_block(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
         / state.primal_weight
         * jnp.ones_like(state.current_dual_solution)
     )
-    lagrangian, est_lb, est_ub = update_objective_bound_estimates(
-        bundle.scaled, avg_primal, avg_dual, primal_norm_params,
-        dual_norm_params,
-    )
+    if config.need_bound_estimates:
+        lagrangian, est_lb, est_ub = update_objective_bound_estimates(
+            bundle.scaled, avg_primal, avg_dual, primal_norm_params,
+            dual_norm_params,
+        )
+    else:
+        zero = jnp.zeros((), avg_primal.dtype)
+        lagrangian, est_lb, est_ub = zero, zero, zero
 
     terminated = reason != 0
 
@@ -732,6 +741,23 @@ def _segment_core(bundle: DeviceScaledQp, state: PdhgState, elapsed_time,
 _run_segment = functools.partial(
     jax.jit, static_argnames=("config",)
 )(_segment_core)
+
+
+@jax.jit
+def _final_bound_estimates(bundle, avg_primal, avg_dual, step_size,
+                           primal_weight):
+    """One-shot recovery of the objective-bound estimates for the final
+    stats entry when config.need_bound_estimates skipped them in-loop."""
+    primal_norm_params = (
+        (1.0 / step_size) * primal_weight * jnp.ones_like(avg_primal)
+    )
+    dual_norm_params = (
+        (1.0 / step_size) / primal_weight * jnp.ones_like(avg_dual)
+    )
+    return update_objective_bound_estimates(
+        bundle.scaled, avg_primal, avg_dual, primal_norm_params,
+        dual_norm_params,
+    )
 
 
 @functools.partial(
@@ -962,6 +988,9 @@ def optimize(
         termination_evaluation_frequency=int(
             params.termination_evaluation_frequency
         ),
+        need_bound_estimates=bool(
+            params.record_iteration_stats or params.verbosity > 0
+        ),
     )
 
     display_iteration_stats_heading(params.verbosity)
@@ -1025,6 +1054,24 @@ def optimize(
         result = jax.device_get(result)
         reason_code = int(result.termination_reason)
         terminated = reason_code != 0
+        if terminated and not config.need_bound_estimates:
+            # The eval block skipped the diagnostics-only bound estimates;
+            # recover them once so the final stats entry keeps parity with
+            # the reference's method_specific_stats (saddle_point.jl:1015).
+            lagr, est_lb, est_ub = jax.device_get(
+                _final_bound_estimates(
+                    bundle,
+                    state.avg_primal_out,
+                    state.avg_dual_out,
+                    result.step_size,
+                    result.primal_weight,
+                )
+            )
+            result = result._replace(
+                lagrangian_value=lagr,
+                estimated_lower_bound=est_lb,
+                estimated_upper_bound=est_ub,
+            )
         eval_iteration = int(result.iteration)  # = displayed iteration - 1
         basic_algorithm_time += time.time() - segment_start
         dispatch_count += 1

@@ -9,15 +9,17 @@ weighted radius equals r.
 
 The reference (src/trust_region_utils.jl:68-192) solves this with an
 iterative median-of-breakpoints elimination - a data-dependent loop that
-does not map to XLA. Here the same exact solution is obtained with one
-sort + prefix sums + a vectorized first-true search:
+does not map to XLA. Here the same exact solution is obtained with a
+fixed-trip bisection on the float bit pattern of t:
 
   radius^2(t) = sum_i a_i * min(t, tau_i)^2,   a_i = w_i d_i^2,
   with d_i the (masked) movement direction and tau_i the breakpoint at
   which component i hits its bound. radius^2 is nondecreasing in t and
-  piecewise quadratic with knots at the sorted tau; prefix sums give its
-  value at every knot, and t* solves low_k + t^2 high_k = r^2 on the
-  segment where r^2 lands. O(n log n), fixed shapes, fully shardable.
+  piecewise quadratic with knots at the tau; 31 (f32) / 63 (f64)
+  bisection steps of two masked reductions each isolate the exact
+  segment containing r^2, then t* solves S + t^2 H = r^2 there.
+  O(nbits * n) reduction work, fixed shapes, fully shardable - and no
+  TPU sort, which measured 7.6 ms for a (40k, 128-lane) vmapped solve.
 """
 
 from __future__ import annotations
@@ -76,32 +78,60 @@ def solve_bound_constrained_trust_region(
     )
     a = w * direction * direction  # radius^2 growth coefficient per component
 
-    # Multi-operand sort carries `a` with the keys - one fused lax.sort
-    # instead of argsort + two reorder gathers (gathers are index-rate
-    # bound on TPU, ~2x the cost of the sort itself).
-    tau_s, a_s = jax.lax.sort((tau, a), dimension=-1, num_keys=1)
-    finite = jnp.isfinite(tau_s)
-
-    # Prefix sums: S_k = sum_{j<=k, finite} a_j tau_j^2 (clamped part),
-    # H_k = sum_{j>k} a_j (still-moving part, incl. infinite-tau comps).
-    clamped_contrib = jnp.where(finite, a_s * tau_s * tau_s, 0.0)
-    s_cum = jnp.cumsum(clamped_contrib)
-    a_cum = jnp.cumsum(a_s)
-    a_total = a_cum[-1] if a_s.shape[0] > 0 else jnp.asarray(0.0)
-    h_after = a_total - a_cum
-
-    # radius^2 at each finite knot (infinite knots -> +inf sentinel).
-    r2_at_knot = jnp.where(
-        finite, s_cum + tau_s * tau_s * h_after, jnp.inf
-    )
+    # Exact knot search by BISECTION ON THE FLOAT BITS of t instead of a
+    # sort + prefix sums: XLA's TPU sort is many-pass (measured 7.6 ms
+    # for (40k, 128 lanes) - it was 35% of fleet device time), while the
+    # bisection is nbits fixed iterations of two masked reductions. For
+    # nonnegative floats the IEEE bit pattern orders like the value, so
+    # integer bisection over [0, bits(max finite tau)] isolates the
+    # EXACT segment [tau_(k-1), tau_k) containing the target radius:
+    # r^2(t) = S(t) + t^2 H(t) with S = sum_{tau<=t} a tau^2 (clamped)
+    # and H = sum_{tau>t} a (still moving) is piecewise quadratic and
+    # nondecreasing, so the largest float v with r^2(v) < r^2 yields the
+    # same S, H as the sorted method's segment sums (reference
+    # trust_region_utils.jl:126-181; duplicate knots share one r^2 value
+    # so the strict-inequality set is segment-consistent).
+    tau = jnp.maximum(tau, 0.0)  # normalize -0.0 so bit ordering holds
+    finite = jnp.isfinite(tau)
+    dt = tau.dtype
+    a_total = jnp.sum(a)
+    a_finite_total = jnp.sum(jnp.where(finite, a, 0.0))
+    s_total = jnp.sum(jnp.where(finite, a * tau * tau, 0.0))
+    h_infinite = a_total - a_finite_total
+    tau_max = jnp.max(jnp.where(finite, tau, 0.0), initial=0.0)
     target_r2 = target_radius * target_radius
 
-    hit = r2_at_knot >= target_r2
-    any_hit = jnp.any(hit & finite)
-    k = jnp.argmax(hit)  # first knot with radius^2 >= r^2
+    int_t = jnp.int32 if dt == jnp.float32 else jnp.int64
+    nbits = 31 if dt == jnp.float32 else 63
 
-    low_before = jnp.where(k > 0, s_cum[jnp.maximum(k - 1, 0)], 0.0)
-    high_before = jnp.where(k > 0, h_after[jnp.maximum(k - 1, 0)], a_total)
+    def r2_parts(t):
+        clamped = finite & (tau <= t)
+        s = jnp.sum(jnp.where(clamped, a * tau * tau, 0.0))
+        h = a_total - jnp.sum(jnp.where(clamped, a, 0.0))
+        return s, h
+
+    def bisect_body(_, lo_hi):
+        lo, hi = lo_hi
+        mid = lo + ((hi - lo + 1) >> 1)
+        t = jax.lax.bitcast_convert_type(mid, dt)
+        s, h = r2_parts(t)
+        below = s + t * t * h < target_r2
+        return (
+            jnp.where(below, mid, lo),
+            jnp.where(below, hi, mid - 1),
+        )
+
+    hi0 = jax.lax.bitcast_convert_type(tau_max.astype(dt), int_t)
+    lo, _ = jax.lax.fori_loop(
+        0, nbits, bisect_body, (jnp.zeros((), int_t), hi0)
+    )
+    v_star = jax.lax.bitcast_convert_type(lo, dt)
+    low_before, high_before = r2_parts(v_star)
+
+    # Does any finite knot reach r^2?  r^2 at the LAST finite knot is
+    # s_total + tau_max^2 * h_infinite (everything clamped except the
+    # unbounded components).
+    any_hit = s_total + tau_max * tau_max * h_infinite >= target_r2
 
     # Interior solution on the segment containing r^2.
     t_interior = jnp.sqrt(
@@ -112,16 +142,13 @@ def solve_bound_constrained_trust_region(
     # No finite knot reaches r^2: either unbounded components keep moving
     # (solve on the last segment) or all bounds are hit first (t = max tau,
     # reference l.175-181).
-    a_finite_total = jnp.sum(jnp.where(finite, a_s, 0.0))
-    s_total = s_cum[-1] if a_s.shape[0] > 0 else jnp.asarray(0.0)
-    h_infinite = a_total - a_finite_total
     t_beyond = jnp.where(
         h_infinite > 0,
         jnp.sqrt(
             jnp.maximum(target_r2 - s_total, 0.0)
             / jnp.where(h_infinite > 0, h_infinite, 1.0)
         ),
-        jnp.max(jnp.where(finite, tau_s, 0.0), initial=0.0),
+        tau_max,
     )
 
     t_star = jnp.where(any_hit, t_interior, t_beyond)

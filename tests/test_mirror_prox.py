@@ -66,6 +66,28 @@ def test_lp_high_precision():
     assert_lp_solved(output, 1e-8)
 
 
+def test_bound_estimates_recovered_without_stats_recording():
+    """Mirror of test_pdhg: with record_iteration_stats=False, the final
+    stats entry must carry bound estimates recovered post-loop."""
+    import dataclasses
+
+    criteria = optimality_criteria(1e-6)
+    recording = optimize(mp_params(criteria), example_lp())
+    silent_params = dataclasses.replace(
+        mp_params(criteria), record_iteration_stats=False
+    )
+    silent = optimize(silent_params, example_lp())
+    assert len(silent.iteration_stats) == 1
+    ref = recording.iteration_stats[-1].method_specific_stats
+    got = silent.iteration_stats[-1].method_specific_stats
+    for key in (
+        "lagrangian_value",
+        "estimated_lower_bound",
+        "estimated_upper_bound",
+    ):
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-6, atol=1e-9)
+
+
 @pytest.mark.parametrize("scaling", ["off", "l1", "l2"])
 def test_lp_diagonal_scalings(scaling):
     output = optimize(

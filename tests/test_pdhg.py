@@ -218,6 +218,29 @@ def test_iteration_limit_and_stats_recording():
     assert all(b >= a for a, b in zip(kkt, kkt[1:]))
 
 
+def test_bound_estimates_recovered_without_stats_recording():
+    """With record_iteration_stats=False the in-loop bound-estimate
+    trust-region solve is skipped (need_bound_estimates gating); the final
+    stats entry must still carry the estimates, recovered post-loop."""
+    criteria = optimality_criteria(1e-6)
+    recording = optimize(pdhg_params(criteria), example_lp())
+    silent = optimize(
+        pdhg_params(criteria, record_iteration_stats=False), example_lp()
+    )
+    assert len(silent.iteration_stats) == 1
+    ref = recording.iteration_stats[-1].method_specific_stats
+    got = silent.iteration_stats[-1].method_specific_stats
+    for key in (
+        "lagrangian_value",
+        "estimated_lower_bound",
+        "estimated_upper_bound",
+    ):
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-6, atol=1e-9)
+    # The estimates bracket the Lagrangian value at the final point.
+    assert got["estimated_lower_bound"] <= got["lagrangian_value"] + 1e-9
+    assert got["estimated_upper_bound"] >= got["lagrangian_value"] - 1e-9
+
+
 def test_kkt_pass_limit_termination():
     from utils import optimality_criteria
 
