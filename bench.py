@@ -322,7 +322,12 @@ def main():
         # Flagship metric LAST so the driver's parsed tail records it:
         # single-instance time to certified 1e-8 relative KKT error
         # (the reference's own correctness bar, termination.jl:33-45).
-        run_time_to_tolerance(num_nodes, 1e-8)
+        # Measured at 100k nodes / 800k nnz by default: the 20k-node
+        # instance is dispatch-latency-bound (a whole KKT pass is
+        # 0.15 ms) and understates the chip; BENCH_TARGET_NODES
+        # overrides.
+        target_nodes = int(os.environ.get("BENCH_TARGET_NODES", 100_000))
+        run_time_to_tolerance(target_nodes, 1e-8)
 
 
 if __name__ == "__main__":

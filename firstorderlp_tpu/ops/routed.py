@@ -142,6 +142,20 @@ def _reduce_body(hr, rows, shift16, meta_ref, g_ref, v_ref, loc_ref, y_ref):
     y_ref[0] = y_ref[0] + _scatter_matmul(hr, k, p, loc & 127, loc >> 7)
 
 
+def _kernel_compiler_params(*hbm_bytes):
+    """Scoped-VMEM budget override for big plans. XLA:TPU promotes a
+    pallas output that feeds the next kernel into scoped VMEM (S(1));
+    past ~3.7M nnz the (chunks, 128) g intermediate exceeds the default
+    16 MiB budget and compilation fails with a scoped-vmem OOM instead
+    of falling back to HBM. Raising the per-kernel limit lets the
+    promotion succeed (v5e has 128 MiB VMEM); capped so kernel windows
+    keep headroom. Returns None when the default budget suffices."""
+    need = max(hbm_bytes) + (8 << 20)
+    if need <= (16 << 20):
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 << 20))
+
+
 @functools.lru_cache(maxsize=None)
 def _make_expand(ngroups, nstrips, b2, rows, shift, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -166,6 +180,7 @@ def _make_expand(ngroups, nstrips, b2, rows, shift, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ngroups * rows, 128), jnp.float32),
         interpret=interpret,
+        compiler_params=_kernel_compiler_params(ngroups * rows * 128 * 4),
     )
 
 
@@ -839,18 +854,85 @@ def _pick_pow2(value, lo, hi):
     return int(min(max(p, lo), hi))
 
 
-def auto_geometry(m: int, n: int, nnz: int) -> Tuple[int, int]:
-    """Default strip geometry (b2, hr) for an (m, n) matrix with `nnz`
-    nonzeros, targeting ~5% tile-padding overhead."""
-    # tile padding <= ~5% of nnz: 64 * ntiles <= 0.05 nnz
-    # => strip ~ sqrt(64 * m * n / (0.05 * nnz))
-    target = np.sqrt(64.0 * m * n / (0.05 * max(nnz, 1))) / 128.0
-    # measured sweep (docs/performance.md): 32-wide strips win from
-    # 20k to 100k nodes; smaller strips only for genuinely small n/m.
-    pick = max(_pick_pow2(target, 1, 128), 32)
-    b2 = min(pick, _pick_pow2(n / 128.0, 1, 128))
-    hr = min(pick, _pick_pow2(m / 128.0, 1, 128))
-    return b2, hr
+# Calibrated per-KKT-pass cost model (v5e, probe_kkt_pass.py sweeps at
+# 20k/100k/500k-node PageRank; fits all 7 measured (geometry, size)
+# points within ~14%):
+#   t_ms ~ KMXU*(b2+hr)*padded_chunks + KCHUNK*padded_chunks
+#          + KGRID*(groups_E + groups_R at G=128)
+# The first term is the one-hot MXU arithmetic (3 bf16 passes x 128x128
+# MACs per chunk per 128 lanes of strip width) - it GROWS linearly with
+# strip width, which is why the former "pad to <=5% and widen strips"
+# heuristic lost 1.76x at 4M nnz (9.04 ms vs 5.14 at 32-wide strips).
+# The second is fixed per-chunk work (expand column-sum, chunk gather,
+# g*vals); the third the Mosaic grid-step overhead.
+_KMXU = 0.9e-6
+_KCHUNK = 0.5e-4
+_KGRID = 1.3e-3
+
+
+def _geometry_cost(b2, hr, padded_chunks, groups):
+    return (
+        _KMXU * (b2 + hr) * padded_chunks
+        + _KCHUNK * padded_chunks
+        + _KGRID * groups
+    )
+
+
+def _block_sum(a: np.ndarray, f0: int, f1: int) -> np.ndarray:
+    """Sums (f0, f1) blocks of a 2-D array (zero-padded to multiples)."""
+    r = -(-a.shape[0] // f0) * f0
+    c = -(-a.shape[1] // f1) * f1
+    if (r, c) != a.shape:
+        a = np.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
+    return a.reshape(r // f0, f0, c // f1, f1).sum(axis=(1, 3))
+
+
+def auto_geometry(
+    m: int, n: int, nnz: int, matrix: "sp.spmatrix | None" = None
+) -> Tuple[int, int]:
+    """Strip geometry (b2, hr) minimizing the calibrated cost model.
+
+    With `matrix`, scores candidates {32, 64, 128}^2 on the EXACT tile
+    histogram (one bincount at the finest granularity, block-summed for
+    coarser strips). Without it (the sharded planner has only shapes),
+    a Poisson estimate of nonempty tiles stands in for the padding."""
+    b2_max = _pick_pow2(n / 128.0, 1, 128)
+    hr_max = _pick_pow2(m / 128.0, 1, 128)
+    cands_b2 = sorted({min(c, b2_max) for c in (32, 64, 128)})
+    cands_hr = sorted({min(c, hr_max) for c in (32, 64, 128)})
+
+    counts0 = None
+    if matrix is not None and nnz > 0:
+        coo = matrix.tocoo()
+        s0 = 128 * 32
+        rb0, cb0 = -(-m // s0), -(-n // s0)
+        counts0 = np.bincount(
+            (coo.row.astype(np.int64) // s0) * cb0
+            + coo.col.astype(np.int64) // s0,
+            minlength=rb0 * cb0,
+        ).reshape(rb0, cb0)
+
+    best, best_cost = None, np.inf
+    for hr in cands_hr:
+        for b2 in cands_b2:
+            if counts0 is not None and b2 >= 32 and hr >= 32:
+                counts = _block_sum(counts0, hr // 32, b2 // 32)
+                chunks = -(-counts // 128)
+                padded = float(chunks.sum())
+                groups = float(
+                    np.ceil(chunks.sum(axis=0) / 128.0).sum()
+                    + np.ceil(chunks.sum(axis=1) / 128.0).sum()
+                )
+            else:
+                rb, cb = -(-m // (128 * hr)), -(-n // (128 * b2))
+                ntiles = float(rb) * float(cb)
+                nonempty = ntiles * -np.expm1(-nnz / max(ntiles, 1.0))
+                padded = nnz / 128.0 + nonempty
+                groups = padded / 128.0 + rb + cb
+            cost = _geometry_cost(b2, hr, padded, groups)
+            if cost < best_cost:
+                best, best_cost = (b2, hr), cost
+    return best
 
 
 class PlanArrays:
@@ -1104,7 +1186,7 @@ def build_routed_op(
     pattern_hash = h.hexdigest()
 
     if b2 is None or hr is None:
-        auto_b2, auto_hr = auto_geometry(m, n, nnz)
+        auto_b2, auto_hr = auto_geometry(m, n, nnz, matrix=csr)
         if b2 is None:
             b2 = auto_b2
         if hr is None:

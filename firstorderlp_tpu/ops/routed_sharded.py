@@ -83,7 +83,8 @@ def plan_routed_shards(
     group_rows: int = 32,
 ) -> RoutedShardPlan:
     """Picks the shared block geometry from the PER-DEVICE block shape
-    (the same ~5% tile-padding heuristic as the single-chip builder)."""
+    (the single-chip builder's calibrated cost model, estimate-only
+    form - the global matrix is not materialized here)."""
     n_dual = mesh.shape.get("dual", 1)
     n_primal = mesh.shape.get("primal", 1)
     m_loc = max(-(-num_rows // n_dual), 1)

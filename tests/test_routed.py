@@ -253,3 +253,41 @@ def test_fused_dual_and_stats_match_composed(tile_aligned):
     np.testing.assert_allclose(
         float(dx2), float(np.sum(dx * dx)), rtol=2e-5
     )
+
+
+def test_auto_geometry_cost_model():
+    """The picker minimizes the calibrated cost model: measured-winning
+    picks at the probe sizes, and the MXU term (linear in strip width)
+    keeps it from widening strips without bound at MIPLIB scale
+    (probe_kkt_pass.py sweep: 128-wide strips measured 1.76x slower
+    than 32-wide at 4M nnz)."""
+    from firstorderlp_tpu.generators import generate_pagerank_lp
+    from firstorderlp_tpu.ops.routed import auto_geometry
+
+    p = generate_pagerank_lp(num_nodes=20000, seed=0)
+    a = p.constraint_matrix
+    m, n = a.shape
+    assert auto_geometry(m, n, a.nnz, matrix=a) == (32, 32)
+    # Estimate-only form (the sharded planner's path) agrees here.
+    assert auto_geometry(m, n, a.nnz) == (32, 32)
+    # A 500k-square PageRank-like pattern must NOT pick 128-wide strips
+    # (the old <=5%-padding rule did; measured 9.04 vs 5.14 ms).
+    b2, hr = auto_geometry(500_000, 500_000, 4_000_000)
+    assert max(b2, hr) <= 64
+    # Tiny matrices clamp to the matrix size.
+    t = sp.random(50, 70, density=0.1, format="csr", random_state=0)
+    assert auto_geometry(50, 70, t.nnz, matrix=t) == (1, 1)
+
+
+def test_kernel_compiler_params_threshold():
+    """Plans whose g intermediate exceeds the default 16 MiB scoped-VMEM
+    budget get a raised per-kernel limit (the promotion of g to VMEM
+    otherwise fails compilation past ~3.7M nnz); small plans keep the
+    default (None)."""
+    from firstorderlp_tpu.ops.routed import _kernel_compiler_params
+
+    assert _kernel_compiler_params(1 << 20) is None
+    big = _kernel_compiler_params(32 << 20)
+    assert big is not None and big.vmem_limit_bytes == (40 << 20)
+    capped = _kernel_compiler_params(1 << 30)
+    assert capped.vmem_limit_bytes == (100 << 20)
