@@ -9,17 +9,21 @@ weighted radius equals r.
 
 The reference (src/trust_region_utils.jl:68-192) solves this with an
 iterative median-of-breakpoints elimination - a data-dependent loop that
-does not map to XLA. Here the same exact solution is obtained with a
-fixed-trip bisection on the float bit pattern of t:
+does not map to XLA. Here the same exact solution is obtained with
+static shapes, two ways by dtype:
 
   radius^2(t) = sum_i a_i * min(t, tau_i)^2,   a_i = w_i d_i^2,
   with d_i the (masked) movement direction and tau_i the breakpoint at
-  which component i hits its bound. radius^2 is nondecreasing in t and
-  piecewise quadratic with knots at the tau; 31 (f32) / 63 (f64)
-  bisection steps of two masked reductions each isolate the exact
-  segment containing r^2, then t* solves S + t^2 H = r^2 there.
-  O(nbits * n) reduction work, fixed shapes, fully shardable - and no
-  TPU sort, which measured 7.6 ms for a (40k, 128-lane) vmapped solve.
+  which component i hits its bound; radius^2 is nondecreasing in t and
+  piecewise quadratic with knots at the tau.
+
+- f32 (the fleet hot path): 31 bisection steps on the float bit pattern
+  of t, two masked reductions each, isolating the exact segment
+  containing r^2; then t* solves S + t^2 H = r^2 there. No TPU sort -
+  the sort measured 7.6 ms for a (40k, 128-lane) vmapped solve.
+- f64: one multi-operand sort + prefix sums + first-true search. The
+  bisection's s64 bitcast has no rewriting rule under TPU x64
+  emulation (hard compile error), and f64 is off the hot path.
 """
 
 from __future__ import annotations
@@ -77,20 +81,44 @@ def solve_bound_constrained_trust_region(
         ),
     )
     a = w * direction * direction  # radius^2 growth coefficient per component
+    target_r2 = target_radius * target_radius
 
-    # Exact knot search by BISECTION ON THE FLOAT BITS of t instead of a
-    # sort + prefix sums: XLA's TPU sort is many-pass (measured 7.6 ms
-    # for (40k, 128 lanes) - it was 35% of fleet device time), while the
-    # bisection is nbits fixed iterations of two masked reductions. For
-    # nonnegative floats the IEEE bit pattern orders like the value, so
-    # integer bisection over [0, bits(max finite tau)] isolates the
-    # EXACT segment [tau_(k-1), tau_k) containing the target radius:
-    # r^2(t) = S(t) + t^2 H(t) with S = sum_{tau<=t} a tau^2 (clamped)
-    # and H = sum_{tau>t} a (still moving) is piecewise quadratic and
-    # nondecreasing, so the largest float v with r^2(v) < r^2 yields the
-    # same S, H as the sorted method's segment sums (reference
-    # trust_region_utils.jl:126-181; duplicate knots share one r^2 value
-    # so the strict-inequality set is segment-consistent).
+    # Two exact knot searches for the same piecewise-quadratic
+    # r^2(t) = S(t) + t^2 H(t), S = sum_{tau<=t} a tau^2 (clamped),
+    # H = sum_{tau>t} a (still moving):
+    # - f32: bisection on the float bit pattern of t (31 fixed trips of
+    #   two masked reductions; no TPU sort - the sort measured 7.6 ms
+    #   for a (40k, 128-lane) vmapped solve, 35% of fleet device time).
+    # - f64: sort + prefix sums. The bisection's s64 bitcast has no
+    #   x64-emulation rewriting rule on TPU (compile error), and f64
+    #   solves are off the fleet hot path the bisection exists for.
+    if tau.dtype == jnp.float32:
+        t_star = _t_star_bisect(tau, a, target_r2)
+    else:
+        t_star = _t_star_sorted(tau, a, target_r2)
+
+    # Degenerate cases: zero radius or zero objective -> stay at center
+    # (reference l.88-91).
+    degenerate = (target_radius <= 0.0) | (
+        jnp.sum(g * g) == 0.0
+    )
+    t_star = jnp.where(degenerate, 0.0, t_star)
+
+    solution = jnp.clip(c + t_star * direction, lb, ub)
+    value = jnp.sum(g * (solution - c))
+    return TrustRegionResult(solution=solution, value=value)
+
+
+def _t_star_bisect(tau, a, target_r2):
+    """Exact knot search by bisection on the float bits of t. For
+    nonnegative floats the IEEE bit pattern orders like the value, so
+    integer bisection over [0, bits(max finite tau)] isolates the EXACT
+    segment [tau_(k-1), tau_k) containing the target radius: the
+    largest float v with r^2(v) < r^2 yields the same S, H as the
+    sorted method's segment sums (reference trust_region_utils.jl:
+    126-181; duplicate knots share one r^2 value so the
+    strict-inequality set is segment-consistent). f32 only: the s64
+    bitcast does not lower under TPU x64 emulation."""
     tau = jnp.maximum(tau, 0.0)  # normalize -0.0 so bit ordering holds
     finite = jnp.isfinite(tau)
     dt = tau.dtype
@@ -99,10 +127,6 @@ def solve_bound_constrained_trust_region(
     s_total = jnp.sum(jnp.where(finite, a * tau * tau, 0.0))
     h_infinite = a_total - a_finite_total
     tau_max = jnp.max(jnp.where(finite, tau, 0.0), initial=0.0)
-    target_r2 = target_radius * target_radius
-
-    int_t = jnp.int32 if dt == jnp.float32 else jnp.int64
-    nbits = 31 if dt == jnp.float32 else 63
 
     def r2_parts(t):
         clamped = finite & (tau <= t)
@@ -121,9 +145,9 @@ def solve_bound_constrained_trust_region(
             jnp.where(below, hi, mid - 1),
         )
 
-    hi0 = jax.lax.bitcast_convert_type(tau_max.astype(dt), int_t)
+    hi0 = jax.lax.bitcast_convert_type(tau_max.astype(dt), jnp.int32)
     lo, _ = jax.lax.fori_loop(
-        0, nbits, bisect_body, (jnp.zeros((), int_t), hi0)
+        0, 31, bisect_body, (jnp.zeros((), jnp.int32), hi0)
     )
     v_star = jax.lax.bitcast_convert_type(lo, dt)
     low_before, high_before = r2_parts(v_star)
@@ -150,19 +174,53 @@ def solve_bound_constrained_trust_region(
         ),
         tau_max,
     )
+    return jnp.where(any_hit, t_interior, t_beyond)
 
-    t_star = jnp.where(any_hit, t_interior, t_beyond)
 
-    # Degenerate cases: zero radius or zero objective -> stay at center
-    # (reference l.88-91).
-    degenerate = (target_radius <= 0.0) | (
-        jnp.sum(g * g) == 0.0
+def _t_star_sorted(tau, a, target_r2):
+    """Exact knot search by sort + prefix sums + first-true search. The
+    multi-operand sort carries `a` with the keys - one fused lax.sort
+    instead of argsort + two reorder gathers (gathers are index-rate
+    bound on TPU, ~2x the cost of the sort itself)."""
+    tau_s, a_s = jax.lax.sort((tau, a), dimension=-1, num_keys=1)
+    finite = jnp.isfinite(tau_s)
+
+    # Prefix sums: S_k = sum_{j<=k, finite} a_j tau_j^2 (clamped part),
+    # H_k = sum_{j>k} a_j (still-moving part, incl. infinite-tau comps).
+    clamped_contrib = jnp.where(finite, a_s * tau_s * tau_s, 0.0)
+    s_cum = jnp.cumsum(clamped_contrib)
+    a_cum = jnp.cumsum(a_s)
+    a_total = a_cum[-1] if a_s.shape[0] > 0 else jnp.asarray(0.0)
+    h_after = a_total - a_cum
+
+    # radius^2 at each finite knot (infinite knots -> +inf sentinel).
+    r2_at_knot = jnp.where(
+        finite, s_cum + tau_s * tau_s * h_after, jnp.inf
     )
-    t_star = jnp.where(degenerate, 0.0, t_star)
+    hit = r2_at_knot >= target_r2
+    any_hit = jnp.any(hit & finite)
+    k = jnp.argmax(hit)  # first knot with radius^2 >= r^2
 
-    solution = jnp.clip(c + t_star * direction, lb, ub)
-    value = jnp.sum(g * (solution - c))
-    return TrustRegionResult(solution=solution, value=value)
+    low_before = jnp.where(k > 0, s_cum[jnp.maximum(k - 1, 0)], 0.0)
+    high_before = jnp.where(k > 0, h_after[jnp.maximum(k - 1, 0)], a_total)
+
+    t_interior = jnp.sqrt(
+        jnp.maximum(target_r2 - low_before, 0.0)
+        / jnp.where(high_before > 0, high_before, 1.0)
+    )
+
+    a_finite_total = jnp.sum(jnp.where(finite, a_s, 0.0))
+    s_total = s_cum[-1] if a_s.shape[0] > 0 else jnp.asarray(0.0)
+    h_infinite = a_total - a_finite_total
+    t_beyond = jnp.where(
+        h_infinite > 0,
+        jnp.sqrt(
+            jnp.maximum(target_r2 - s_total, 0.0)
+            / jnp.where(h_infinite > 0, h_infinite, 1.0)
+        ),
+        jnp.max(jnp.where(finite, tau_s, 0.0), initial=0.0),
+    )
+    return jnp.where(any_hit, t_interior, t_beyond)
 
 
 def _approximate_trust_region(

@@ -221,3 +221,27 @@ def test_bound_optimal_objective_max_norm_brackets_optimum():
     # With a big enough ball the bounds must bracket the true optimum -1.
     assert float(bound.lower_bound_value) <= -1.0 + 1e-6
     assert float(bound.upper_bound_value) >= -1.0 - 1e-6
+
+
+def test_bisect_matches_sorted_f32():
+    """The f32 float-bit bisection and the f64-path sort+prefix-sum
+    knot search are the same exact algorithm; on identical f32 inputs
+    their t* must agree to f32 roundoff (regression: the dtype dispatch
+    exists because the bisection's s64 bitcast cannot compile under TPU
+    x64 emulation)."""
+    from firstorderlp_tpu.trust_region import (
+        _t_star_bisect,
+        _t_star_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(3, 60))
+        tau = np.abs(rng.normal(size=n)).astype(np.float32)
+        tau[rng.random(n) < 0.2] = np.inf
+        tau[rng.random(n) < 0.2] = 0.0
+        a = np.abs(rng.normal(size=n)).astype(np.float32)
+        r2 = np.float32(np.abs(rng.normal()) * 2.0)
+        tb = float(_t_star_bisect(jnp.asarray(tau), jnp.asarray(a), r2))
+        ts = float(_t_star_sorted(jnp.asarray(tau), jnp.asarray(a), r2))
+        np.testing.assert_allclose(tb, ts, rtol=1e-5, atol=1e-6)
