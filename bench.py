@@ -24,10 +24,14 @@ float64 on one CPU core (PDLP papers run 1 thread/instance; see
 BASELINE.md). A sequential fleet on that core gets
 baseline = 2.5e8 / (2 * nnz(A)) iterations/s regardless of fleet size.
 
-Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"}: the
-fleet aggregate-throughput line, then (last, so the driver's parsed
-tail records the flagship metric) the single-instance
-time-to-certified-1e-8 line.
+Prints THREE JSON lines {"metric", "value", "unit", "vs_baseline"}: the
+PDHG fleet aggregate-throughput line, the Mirror Prox fleet line, then
+(last, so the driver's parsed tail records the flagship metric) the
+single-instance time-to-certified-1e-8 line. Ingest and warmup lines
+report their XLA-compile component separately (compile_meter), and the
+headline "fleet ingest" number is a WARM build - the cold build incl.
+compile is printed above it (a cold-cache compile absorbed into ingest
+misstates both; round-3 artifact lesson).
 
 Env knobs: BENCH_NODES (default 20000), BENCH_BATCH (128), BENCH_ITERS
 (600 per instance), BENCH_DTYPE (float32), BENCH_SINGLE=1 to instead
@@ -150,13 +154,16 @@ def run_time_to_tolerance(num_nodes, target):
             kkt_matrix_pass_limit=float(np.inf),
         ),
     )
+    from firstorderlp_tpu.compile_meter import CompileWindow
+
     prepared = prepare_problem(phase1_params(params), problem)
     t0 = time.time()
-    out, fb = optimize_iterative_refinement(
-        params, problem, prepared=prepared
-    )
-    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s "
-          f"(f64 fallback used: {fb})", file=sys.stderr)
+    with CompileWindow() as cw:
+        out, fb = optimize_iterative_refinement(
+            params, problem, prepared=prepared
+        )
+    print(f"# warmup: {time.time()-t0:.1f}s (of which XLA compile: "
+          f"{cw.seconds:.1f}s; f64 fallback used: {fb})", file=sys.stderr)
     t0 = time.time()
     out, fb = optimize_iterative_refinement(
         params, problem, prepared=prepared
@@ -215,11 +222,14 @@ def main():
         prepare_shared_pattern_fleet,
         solve_batch_shared_pattern,
     )
+    from firstorderlp_tpu.compile_meter import CompileWindow, install
     from firstorderlp_tpu.generators import (
         generate_pagerank_lp,
         pagerank_fleet_spec,
     )
     from firstorderlp_tpu.models.pdhg import optimize, prepare_problem
+
+    install()
 
     if target:
         run_time_to_tolerance(num_nodes, float(target))
@@ -261,6 +271,20 @@ def main():
         prepared = prepare_problem(params, problems[0])
         print(f"# single ingest: {time.time()-t0:.1f}s", file=sys.stderr)
     if not single:
+        # The fleet-build program is jitted: the FIRST build pays its
+        # XLA compile (reported separately below - round-3's driver
+        # artifact silently absorbed a cold-cache compile into
+        # "ingest"), so ingest is measured on a second, warm build -
+        # the marginal cost of ingesting a fleet, which is what the
+        # ingest-vs-solve comparison is about.
+        t0 = time.time()
+        with CompileWindow() as cw:
+            fleet = prepare_shared_pattern_fleet(params, spec)
+        print(
+            f"# fleet ingest cold: {time.time()-t0:.1f}s "
+            f"(of which XLA compile: {cw.seconds:.1f}s)",
+            file=sys.stderr,
+        )
         t0 = time.time()
         fleet = prepare_shared_pattern_fleet(params, spec)
         print(
@@ -275,8 +299,13 @@ def main():
         return solve_batch_shared_pattern(params, spec, fleet=fleet)
 
     t0 = time.time()
-    run()
-    print(f"# warmup (incl. compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    with CompileWindow() as cw:
+        run()
+    print(
+        f"# warmup: {time.time()-t0:.1f}s "
+        f"(of which XLA compile: {cw.seconds:.1f}s)",
+        file=sys.stderr,
+    )
 
     t0 = time.time()
     outputs = run()
@@ -319,6 +348,47 @@ def main():
     )
 
     if not single and not use_mp:
+        # Mirror Prox fleet line (same fleet, same protocol) so BOTH
+        # solvers have a driver-verified throughput datapoint
+        # (round-3 verdict item 7; reference mirror_prox.jl:623-919,
+        # 2 KKT passes = 4 matvec passes over A per iteration).
+        mp_params = make_mp_params(iteration_limit, dtype, fmt="ell")
+        t0 = time.time()
+        with CompileWindow() as cw:
+            mp_fleet = prepare_shared_pattern_fleet(mp_params, spec)
+            solve_batch_shared_pattern(mp_params, spec, fleet=mp_fleet)
+        print(
+            f"# mp fleet ingest+warmup: {time.time()-t0:.1f}s "
+            f"(of which XLA compile: {cw.seconds:.1f}s)",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        mp_outputs = solve_batch_shared_pattern(
+            mp_params, spec, fleet=mp_fleet
+        )
+        mp_time = time.time() - t0
+        mp_iters = sum(o.iteration_count for o in mp_outputs)
+        print(
+            f"# mp timed solve: {mp_time:.2f}s, {mp_iters} total "
+            f"iterations across {len(mp_outputs)} instances",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "mirror_prox_aggregate_iterations_per_sec_chip"
+                        f"_pagerank_b{batch}"
+                    ),
+                    "value": round(mp_iters / mp_time, 2),
+                    "unit": "iterations/s",
+                    "vs_baseline": round(
+                        (mp_iters / mp_time) / (2.5e8 / (4.0 * nnz)), 3
+                    ),
+                }
+            )
+        )
+
         # Flagship metric LAST so the driver's parsed tail records it:
         # single-instance time to certified 1e-8 relative KKT error
         # (the reference's own correctness bar, termination.jl:33-45).

@@ -202,6 +202,98 @@ def build_experiments(time_limit):
     return exps
 
 
+def _bucket_dim(v, minimum=256):
+    p = minimum
+    while p < v:
+        p *= 2
+    return p
+
+
+def tpu_experiments(time_limit):
+    """The chip campaign: PDLP at 1e-4 and 1e-8 under the reference
+    protocol budget (kkt_matrix_pass_limit=1e5, analyze_csv_data.py:65),
+    solved via iterative refinement (f32 hot loop, f64-certified -
+    refine.py) on shape-bucketed canonically-padded problems so XLA
+    programs are shared across every instance in a (m, n) bucket."""
+    exps = {}
+    for tol, tag in ((1e-4, "1e-4"), (1e-8, "1e-8")):
+        params = pdhg_config(tol, time_limit)
+        params = dataclasses_replace(
+            params,
+            matrix_format="dense_onchip",
+            stats_matrix_format="coo",
+        )
+        exps[f"pdlp_{tag}_tpu"] = (params, tol, True)
+    return exps
+
+
+def solve_one_tpu(params, problem, presolve, instance_name, out_path):
+    """One chip solve: presolve -> pad to the (m, n) power-of-two bucket
+    (exact no-op padding, parallel/sharded.py pad_problem) -> certified
+    iterative refinement. Returns (output, wall, compile_sec, bucket).
+
+    The compile component is measured via jax.monitoring
+    (compile_meter) and reported per instance: the reference protocol
+    has no compile cost, so an artifact that silently absorbs XLA
+    compiles into solve time misstates the comparison in BOTH
+    directions. Wall excludes host-side ingest (rescale + layout build
+    + transfer), matching the CPU campaign's optimize_any timing, but
+    ingest is reported in the timing CSV."""
+    from firstorderlp_tpu.compile_meter import CompileWindow
+    from firstorderlp_tpu.models.pdhg import prepare_problem
+    from firstorderlp_tpu.parallel.sharded import pad_problem
+    from firstorderlp_tpu.refine import (
+        optimize_iterative_refinement,
+        phase1_params,
+    )
+
+    if presolve:
+        import copy
+
+        problem = copy.deepcopy(problem)
+        folp.presolve(problem, verbosity=0, transform_bounds=False)
+    m, n = problem.constraint_matrix.shape
+    bucket = (_bucket_dim(m), _bucket_dim(n))
+    padded, _, _ = pad_problem(problem, bucket[0], bucket[1])
+    t0 = time.time()
+    with CompileWindow() as cw_ingest:
+        prepared = prepare_problem(phase1_params(params), padded)
+    ingest = time.time() - t0
+    t0 = time.time()
+    with CompileWindow() as cw:
+        output, fallback = optimize_iterative_refinement(
+            params, padded, prepared=prepared
+        )
+    wall = time.time() - t0
+    stats = output.iteration_stats[-1] if output.iteration_stats else None
+    log = SolveLog(
+        instance_name=instance_name,
+        command_line_invocation="benchmarking/run_campaign.py --tpu",
+        termination_reason=output.termination_reason,
+        termination_string=output.termination_string,
+        iteration_count=output.iteration_count,
+        # compile-amortized: XLA compiles are a one-time per-bucket cost
+        # the CPU protocol has no analogue of; the split (and the
+        # aggregate compile-vs-solve comparison) is in tpu_timing.csv.
+        solve_time_sec=wall - cw.seconds,
+        solution_stats=stats,
+        solution_type=PointType.POINT_TYPE_AVERAGE_ITERATE,
+    )
+    with open(out_path, "w") as f:
+        f.write(solve_log_to_json(log))
+    return output, wall, {
+        "bucket_m": bucket[0],
+        "bucket_n": bucket[1],
+        "m": m,
+        "n": n,
+        "ingest_sec": round(ingest, 3),
+        "ingest_compile_sec": round(cw_ingest.seconds, 3),
+        "compile_sec": round(cw.seconds, 3),
+        "solve_sec": round(wall - cw.seconds, 3),
+        "f64_fallback": bool(fallback),
+    }
+
+
 def solve_one(params, problem, presolve, instance_name, out_path):
     if presolve:
         import copy
@@ -279,6 +371,12 @@ def main():
                    help="optional instance-name list file filtering "
                         "--instance_dir (reference *_instance_list "
                         "format: one name per line, # comments)")
+    p.add_argument("--tpu", action="store_true",
+                   help="run the chip campaign: PDLP 1e-4/1e-8 via "
+                        "certified iterative refinement on shape-"
+                        "bucketed padded problems (XLA programs shared "
+                        "per bucket); writes tpu_timing.csv with the "
+                        "per-instance compile/solve split")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -299,11 +397,27 @@ def main():
             if not os.path.exists(path):
                 write_mps(prob, path)
 
-    exps = build_experiments(args.time_limit)
+    if args.tpu:
+        exps = tpu_experiments(args.time_limit)
+        # bucket-major order: every instance of a bucket runs on the
+        # already-compiled programs of the bucket's first instance.
+        suite = dict(
+            sorted(
+                suite.items(),
+                key=lambda kv: (
+                    _bucket_dim(kv[1].constraint_matrix.shape[0]),
+                    _bucket_dim(kv[1].constraint_matrix.shape[1]),
+                    kv[0],
+                ),
+            )
+        )
+    else:
+        exps = build_experiments(args.time_limit)
     if args.only:
         keep = set(args.only.split(","))
         exps = {k: v for k, v in exps.items() if k in keep}
     datasets = []
+    tpu_rows = []
     for label, (params, tol, presolve) in exps.items():
         logs_dir = os.path.join(args.out, "logs", label)
         os.makedirs(logs_dir, exist_ok=True)
@@ -353,14 +467,34 @@ def main():
                       f"({time.time()-t0:.1f}s)", flush=True)
                 continue
             try:
-                output, wall = solve_one(
-                    params, problem, presolve, name, out_path
-                )
-                print(
-                    f"[{label}] {name}: {output.termination_string} "
-                    f"iters={output.iteration_count} {wall:.1f}s",
-                    flush=True,
-                )
+                if args.tpu:
+                    output, wall, extra = solve_one_tpu(
+                        params, problem, presolve, name, out_path
+                    )
+                    tpu_rows.append(
+                        {"experiment": label, "instance": name, **extra}
+                    )
+                    print(
+                        f"[{label}] {name}: "
+                        f"{output.termination_string} "
+                        f"iters={output.iteration_count} "
+                        f"bucket={extra['bucket_m']}x"
+                        f"{extra['bucket_n']} "
+                        f"solve={extra['solve_sec']:.1f}s "
+                        f"compile={extra['compile_sec']:.1f}s "
+                        f"ingest={extra['ingest_sec']:.1f}s",
+                        flush=True,
+                    )
+                else:
+                    output, wall = solve_one(
+                        params, problem, presolve, name, out_path
+                    )
+                    print(
+                        f"[{label}] {name}: "
+                        f"{output.termination_string} "
+                        f"iters={output.iteration_count} {wall:.1f}s",
+                        flush=True,
+                    )
             except Exception as exc:  # record the failure, keep going
                 print(f"[{label}] {name}: ERROR {exc}", flush=True)
 

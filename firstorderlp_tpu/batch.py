@@ -577,6 +577,10 @@ def _prepare_fleet_from_spec(
             const = jax.vmap(spec.objective_constant)(th).astype(np_dtype)
         return v_orig, vectors, const
 
+    cache = getattr(spec, "_jit_cache", None)
+    if cache is None:
+        cache = {}
+        spec._jit_cache = cache
     return _finish_fleet_fast(
         params,
         pat,
@@ -584,13 +588,22 @@ def _prepare_fleet_from_spec(
         value_fn=generate,
         value_args=(thetas,),
         originals=[base] * b,
+        jit_cache=cache,
     )
 
 
 def _finish_fleet_fast(
-    params, pat, k_eq, value_fn, value_args, originals
+    params, pat, k_eq, value_fn, value_args, originals, jit_cache=None
 ):
     """Shared device-side fleet build, executed as ONE jitted program.
+
+    jit_cache: optional mutable dict owned by the caller (e.g. stored on
+    a FleetSpec); repeated builds of the same fleet with the same params
+    OBJECT reuse the jitted build wrapper, so they skip the re-trace +
+    compile-cache lookup (~1-2 s on a 1-core host) and pay only transfer
+    + dispatch. Sound because the key is (params identity) and the cache
+    lives on the spec: the rebuilt closures are functions of exactly
+    (spec, params).
 
     value_fn(*value_args) -> (v_orig (nnz, B), vectors dict, const (B,))
     is traced inside the jit: host-stacked fleets pass their arrays
@@ -839,7 +852,14 @@ def _finish_fleet_fast(
         )
         return batched_bundle, state, cum_con, cum_var
 
-    batched_bundle, state, cum_con, cum_var = jax.jit(build)(
+    if jit_cache is not None and jit_cache.get("params") is params:
+        jitted_build = jit_cache["jitted"]
+    else:
+        jitted_build = jax.jit(build)
+        if jit_cache is not None:
+            jit_cache["params"] = params
+            jit_cache["jitted"] = jitted_build
+    batched_bundle, state, cum_con, cum_var = jitted_build(
         aux, value_args
     )
 

@@ -87,6 +87,9 @@ class MirrorProxParameters:
     matrix_format: str = "auto"
     # Precision of termination/stats evaluation (None = same as dtype).
     stats_dtype: Optional[str] = None
+    # Matrix layout of the ORIGINAL (stats) copy (None = matrix_format;
+    # same contract as PdhgParameters.stats_matrix_format).
+    stats_matrix_format: Optional[str] = None
     # Checkpoint/resume (same contract as PdhgParameters).
     checkpoint_path: Optional[str] = None
     checkpoint_every_n_dispatches: int = 1
@@ -536,6 +539,7 @@ def prepare_problem(
         params.matrix_format,
         stats_dtype=stats_dtype,
         shard_plan=_shard_plan,
+        stats_format=getattr(params, "stats_matrix_format", None),
     )
     n = bundle.scaled.num_variables
     m = bundle.scaled.num_constraints

@@ -138,6 +138,15 @@ class PdhgParameters:
     # dtype="float32" + stats_dtype="float64" is the TPU split-precision
     # mode: fp32 hot loop, f64 residuals on the unscaled problem.
     stats_dtype: Optional[str] = None
+    # Matrix layout of the ORIGINAL (stats) problem copy (None = same
+    # as matrix_format). The shape-bucketed campaign protocol pairs
+    # matrix_format="dense_onchip" (f32 MXU hot loop, O(nnz) transfer)
+    # with stats_matrix_format="coo" (f64 gather+segment-sum - emulated
+    # f64 dense dot_general materializes limb-plane temps, 12 GB at
+    # 16k x 16k); both layouts' program shapes depend only on the
+    # (m, n, nnz) padding bucket, so XLA programs are shared across
+    # every instance in a bucket (benchmarking/run_campaign.py --tpu).
+    stats_matrix_format: Optional[str] = None
     # Write a jax.profiler trace of the solve to this directory
     # (TensorBoard format). The reference's only instrumentation is
     # wall-clock + KKT-pass counters (SURVEY 5.1); both are kept, this
@@ -866,6 +875,7 @@ def prepare_problem(
             params.matrix_format,
             stats_dtype=stats_dtype,
             shard_plan=_shard_plan,
+            stats_format=params.stats_matrix_format,
         )
 
     state = _initial_state(bundle, dtype)

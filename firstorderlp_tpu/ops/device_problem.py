@@ -179,6 +179,7 @@ def to_device_scaled(
     convert=None,
     stats_dtype=None,
     shard_plan=None,
+    stats_format=None,
 ) -> DeviceScaledQp:
     """`stats_dtype` (default: `dtype`) is the precision of the ORIGINAL
     problem copy, the rescaling vectors and the norm cache - i.e. of the
@@ -186,11 +187,20 @@ def to_device_scaled(
     stats_dtype=float64) runs the hot loop at TPU-native fp32 while
     residuals/gaps are measured in f64 (emulated, but only every
     termination_evaluation_frequency iterations): unscaling promotes the
-    iterates because the rescaling vectors are f64."""
+    iterates because the rescaling vectors are f64.
+
+    `stats_format` (default: `format`) is the matrix layout of the
+    ORIGINAL copy. The shape-bucketed campaign protocol pairs a
+    "dense_onchip" f32 scaled layout (MXU hot loop) with a "coo" f64
+    original (XLA's emulated-f64 dot_general materializes limb-plane
+    temps - 12 GB at 16k x 16k - while gather+segment-sum f64 costs
+    O(nnz))."""
     if convert is None:
         convert = jnp.asarray
     if stats_dtype is None:
         stats_dtype = dtype
+    if stats_format is None:
+        stats_format = format
     np_dtype = np.dtype(jnp.dtype(stats_dtype).name)
     c = np.asarray(scaled_problem.original_qp.objective_vector, np.float64)
     b = np.asarray(scaled_problem.original_qp.right_hand_side, np.float64)
@@ -217,7 +227,7 @@ def to_device_scaled(
         original=to_device(
             scaled_problem.original_qp,
             stats_dtype,
-            format,
+            stats_format,
             convert,
             share_from=scaled_qp_device,
             shard_plan=shard_plan,

@@ -37,6 +37,7 @@ src/primal_dual_hybrid_gradient.jl:492).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple, Union
 
 import jax
@@ -128,9 +129,137 @@ class SparseOp:
         return self.bwd.mv(y)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CooOp:
+    """Flat padded-COO layout: matvecs as gather + segment-sum.
+
+    The ONE layout whose pytree shapes depend only on (padded nnz, m, n)
+    - no per-instance bucket geometry - so solver programs compiled for
+    one instance are reused verbatim for any instance padded to the same
+    (m, n, nnz) bucket (the shape-bucketed benchmark-campaign protocol;
+    see benchmarking/run_campaign.py --tpu). Entries are CSR-ordered
+    (rows sorted); nnz is padded to the next power of two with
+    (row 0, col 0, 0.0) entries - segment-summing an extra zero is
+    exact. Matvec cost is index-rate bound (~1e8 idx/s on v5e, one
+    gather + one scatter-add per product), so it serves the STATS path
+    (every termination_evaluation_frequency iterations) and f64 solves,
+    not the f32 hot loop - pair with "dense_onchip" for that.
+
+    Reference call sites replaced: same as SparseOp
+    (src/saddle_point.jl:1089,1106)."""
+
+    rows: jax.Array  # (nnz_pad,) int32, sorted (CSR order)
+    cols: jax.Array  # (nnz_pad,) int32
+    vals: jax.Array  # (nnz_pad,) float
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.num_rows, self.num_cols)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        prod = self.vals * _gather_1d(x, self.cols)
+        return jax.ops.segment_sum(
+            prod,
+            self.rows,
+            num_segments=self.num_rows,
+            indices_are_sorted=True,
+        )
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        prod = self.vals * _gather_1d(y, self.rows)
+        return jax.ops.segment_sum(
+            prod, self.cols, num_segments=self.num_cols
+        )
+
+
+def _pad_pow2(n: int, minimum: int = 4096) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_coo_op(
+    matrix: sp.spmatrix, dtype=jnp.float64, convert=None,
+    nnz_multiple: Optional[int] = None,
+) -> CooOp:
+    """nnz is padded to a power of two (min 4096) by default so the
+    padded size is canonical across instances in a size bucket;
+    `nnz_multiple` overrides with round-up-to-multiple padding."""
+    if convert is None:
+        convert = jnp.asarray
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    csr = sp.csr_matrix(matrix)
+    csr.sum_duplicates()
+    nnz = csr.nnz
+    if nnz_multiple:
+        nnz_pad = max(-(-nnz // nnz_multiple) * nnz_multiple, nnz_multiple)
+    else:
+        nnz_pad = _pad_pow2(nnz)
+    rows = np.zeros(nnz_pad, dtype=np.int32)
+    cols = np.zeros(nnz_pad, dtype=np.int32)
+    vals = np.zeros(nnz_pad, dtype=np_dtype)
+    rows[:nnz] = np.repeat(
+        np.arange(csr.shape[0], dtype=np.int32), np.diff(csr.indptr)
+    )
+    cols[:nnz] = csr.indices
+    vals[:nnz] = csr.data.astype(np_dtype)
+    # padding rows must keep the sorted (CSR) order for segment_sum's
+    # indices_are_sorted: point them at the LAST row.
+    rows[nnz:] = max(csr.shape[0] - 1, 0)
+    return CooOp(
+        rows=convert(rows),
+        cols=convert(cols),
+        vals=convert(vals),
+        num_rows=matrix.shape[0],
+        num_cols=matrix.shape[1],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _densify(rows, cols, vals, m, n):
+    return jnp.zeros((m, n), vals.dtype).at[rows, cols].add(vals)
+
+
+def build_dense_onchip_op(
+    matrix: sp.spmatrix, dtype=jnp.float32, convert=None
+) -> DenseOp:
+    """DenseOp whose (m, n) plane is scatter-built ON DEVICE from the
+    padded COO triplet: the host->device transfer is O(nnz), not
+    O(m*n) (the tunneled backend moves ~20 MB/s; a 16k x 16k dense
+    plane would cost ~45 s to ship vs ~0.05 s to build on chip). The
+    scatter program is keyed on (nnz_pad, m, n) only, so it is shared
+    across a campaign bucket."""
+    if convert not in (None, jnp.asarray):
+        raise ValueError(
+            "dense_onchip is device-resident; use format='dense' for "
+            "host-mirror (batched stacking) builds"
+        )
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    coo = sp.coo_matrix(matrix)
+    coo.sum_duplicates()
+    nnz = coo.nnz
+    nnz_pad = _pad_pow2(nnz)
+    rows = np.zeros(nnz_pad, dtype=np.int32)
+    cols = np.zeros(nnz_pad, dtype=np.int32)
+    vals = np.zeros(nnz_pad, dtype=np_dtype)
+    rows[:nnz] = coo.row
+    cols[:nnz] = coo.col
+    vals[:nnz] = coo.data.astype(np_dtype)
+    return DenseOp(
+        a=_densify(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            matrix.shape[0], matrix.shape[1],
+        )
+    )
+
+
 # RoutedOp (ops/routed.py) also satisfies this interface; the union is
 # annotation-only and dispatch is duck-typed through mv/rmv.
-LinOp = Union[DenseOp, SparseOp]
+LinOp = Union[DenseOp, SparseOp, CooOp]
 
 
 def matvec(op: Optional[LinOp], x: jax.Array) -> jax.Array:
@@ -269,6 +398,10 @@ def build_linop(
     RoutedOp (which has no sharding story).
     """
     m, n = matrix.shape
+    if format == "coo":
+        return build_coo_op(matrix, dtype, convert)
+    if format == "dense_onchip":
+        return build_dense_onchip_op(matrix, dtype, convert)
     if format == "dense" or (format == "auto" and m * n <= dense_size_limit):
         return build_dense_op(matrix, dtype, convert)
     if shard_plan is not None:

@@ -27,6 +27,27 @@ from .models import pdhg as _pdhg
 from .saddle_point import SaddlePointOutput
 from .solve_log import TerminationReason
 
+# Bucketable layouts (shape-keyed only on the (m, n, nnz) padding
+# bucket) are preserved through the refinement phases so the campaign
+# protocol's XLA programs stay shared across instances; anything else
+# falls back to "auto" (phase-appropriate fast layout). The f64 tail
+# maps dense layouts to "coo": XLA's emulated-f64 dense dot_general
+# materializes limb-plane temps (12 GB at 16k x 16k).
+_BUCKETABLE = ("dense_onchip", "coo", "dense")
+
+
+def _phase1_format(params) -> str:
+    return (
+        params.matrix_format
+        if params.matrix_format in _BUCKETABLE
+        else "auto"
+    )
+
+
+def _tail_format(params) -> str:
+    return "coo" if params.matrix_format in _BUCKETABLE else "auto"
+
+
 _REFINABLE = (
     TerminationReason.TERMINATION_REASON_OPTIMAL,
     TerminationReason.TERMINATION_REASON_ITERATION_LIMIT,
@@ -91,7 +112,10 @@ def optimize_split_precision(
         return out1
 
     p2 = dataclasses.replace(
-        params, dtype="float64", stats_dtype=None, matrix_format="auto"
+        params,
+        dtype="float64",
+        stats_dtype=None,
+        matrix_format=_tail_format(params),
     )
     remaining = crit.iteration_limit - out1.iteration_count
     if remaining <= 0:
@@ -160,7 +184,7 @@ def phase1_params(
         params,
         dtype="float32",
         stats_dtype="float64",
-        matrix_format="auto",
+        matrix_format=_phase1_format(params),
         termination_criteria=relaxed,
     )
 
@@ -619,7 +643,7 @@ def optimize_iterative_refinement(
         params,
         dtype="float64",
         stats_dtype=None,
-        matrix_format="auto",
+        matrix_format=_tail_format(params),
         termination_criteria=dataclasses.replace(
             crit, iteration_limit=remaining
         ),
