@@ -203,7 +203,7 @@ def build_parameters(args):
             setattr(criteria, field, value)
 
     if args.method == "mirror-prox":
-        return folp.MirrorProxParameters(
+        mp_params = folp.MirrorProxParameters(
             l_inf_ruiz_iterations=args.l_inf_ruiz_iterations,
             l2_norm_rescaling=args.l2_norm_rescaling,
             pock_chambolle_alpha=pock_chambolle_alpha,
@@ -223,6 +223,9 @@ def build_parameters(args):
             stats_dtype=args.stats_dtype,
             matrix_format=args.matrix_format,
         )
+        if args.two_phase_refinement:
+            mp_params._two_phase = args.refinement_switch_tol
+        return mp_params
     if args.step_size_policy == "malitsky-pock":
         step_params = folp.MalitskyPockStepsizeParameters(
             args.malitsky_pock_downscaling_factor,
@@ -263,10 +266,10 @@ def build_parameters(args):
 
 
 def _check_refinement_method(args):
-    if args.two_phase_refinement and args.method != "pdhg":
-        raise SystemExit(
-            "--two_phase_refinement is implemented for --method pdhg"
-        )
+    """Refinement now covers both methods (refine.py dispatches PDHG
+    and Mirror Prox); nothing left to reject here. Kept as the flag
+    cross-validation hook."""
+    del args
 
 
 def solve_instance_and_output(

@@ -498,6 +498,35 @@ def initial_mp_scalings(scaled_qp, params: "MirrorProxParameters"):
     )
 
 
+def make_initial_state(
+    n, m, dtype, step_size, primal_scaling, dual_scaling, primal_weight
+) -> MirrorProxState:
+    """Cold-start MirrorProxState (zeros; reference mirror_prox.jl:646).
+    Shared by prepare_problem and the refinement driver's shifted-solve
+    fast prepare (refine.py), which reuses a phase-1 device bundle and
+    only needs a fresh state."""
+    return MirrorProxState(
+        current_primal=jnp.zeros(n, dtype),
+        current_dual=jnp.zeros(m, dtype),
+        primal_scaling=jnp.asarray(primal_scaling, dtype),
+        dual_scaling=jnp.asarray(dual_scaling, dtype),
+        avg=initialize_solution_weighted_average(n, m, dtype),
+        restart_info=create_last_restart_info(
+            jnp.zeros(n, dtype), jnp.zeros(m, dtype)
+        ),
+        step_size=jnp.asarray(step_size, dtype),
+        primal_weight=jnp.asarray(primal_weight, dtype),
+        numerical_error=jnp.asarray(False),
+        cumulative_kkt_passes=jnp.asarray(0.0, jnp.float64),
+        iteration=jnp.int64(1),
+        iterations_completed=jnp.int64(0),
+        accepted_iterations=jnp.int64(0),
+        termination_reason=jnp.int32(0),
+        avg_primal_out=jnp.zeros(n, dtype),
+        avg_dual_out=jnp.zeros(m, dtype),
+    )
+
+
 class PreparedMpProblem(NamedTuple):
     """Host rescaling + device bundle + initial state, split out of
     optimize() so repeated solves (benchmark protocols, warm loops)
@@ -514,10 +543,15 @@ def prepare_problem(
     params: MirrorProxParameters,
     original_problem: QuadraticProgrammingProblem,
     _shard_plan=None,
+    warm_start=None,
 ) -> PreparedMpProblem:
     """Validates, rescales and transfers `original_problem` for
     `optimize` (reference: the rescaling step of optimize,
-    mirror_prox.jl:627-688, split out for reuse)."""
+    mirror_prox.jl:627-688, split out for reuse).
+
+    warm_start: optional (primal, dual) in UNSCALED space, mirroring
+    pdhg.prepare_problem's contract (used by the refinement driver's
+    f64 tail; the reference always cold-starts, mirror_prox.jl:646)."""
     validate(original_problem)
 
     scaled_problem = rescale_problem(
@@ -553,26 +587,28 @@ def prepare_problem(
         scaled_problem.scaled_qp, params
     )
 
-    state = MirrorProxState(
-        current_primal=jnp.zeros(n, dtype),
-        current_dual=jnp.zeros(m, dtype),
-        primal_scaling=jnp.asarray(primal_scaling, dtype),
-        dual_scaling=jnp.asarray(dual_scaling, dtype),
-        avg=initialize_solution_weighted_average(n, m, dtype),
-        restart_info=create_last_restart_info(
-            jnp.zeros(n, dtype), jnp.zeros(m, dtype)
-        ),
-        step_size=jnp.asarray(step_size, dtype),
-        primal_weight=jnp.asarray(primal_weight, dtype),
-        numerical_error=jnp.asarray(False),
-        cumulative_kkt_passes=jnp.asarray(0.0, jnp.float64),
-        iteration=jnp.int64(1),
-        iterations_completed=jnp.int64(0),
-        accepted_iterations=jnp.int64(0),
-        termination_reason=jnp.int32(0),
-        avg_primal_out=jnp.zeros(n, dtype),
-        avg_dual_out=jnp.zeros(m, dtype),
+    state = make_initial_state(
+        n, m, dtype, step_size, primal_scaling, dual_scaling,
+        primal_weight,
     )
+    if warm_start is not None:
+        primal0, dual0 = warm_start
+        x0 = jnp.asarray(
+            np.asarray(primal0)
+            * np.asarray(scaled_problem.variable_rescaling),
+            dtype,
+        )
+        y0 = jnp.asarray(
+            np.asarray(dual0)
+            * np.asarray(scaled_problem.constraint_rescaling),
+            dtype,
+        )
+        state = dataclasses.replace(
+            state,
+            current_primal=x0,
+            current_dual=y0,
+            restart_info=create_last_restart_info(x0, y0),
+        )
     return PreparedMpProblem(
         scaled_problem=scaled_problem, bundle=bundle, initial_state=state
     )

@@ -55,6 +55,35 @@ _REFINABLE = (
 )
 
 
+def _is_mp_params(params) -> bool:
+    from .models.mirror_prox import MirrorProxParameters
+
+    return isinstance(params, MirrorProxParameters)
+
+
+def _prepare(params, problem, warm_start=None, _reuse=None):
+    """Solver-dispatched prepare: both refinement drivers cover PDHG
+    and Mirror Prox (the shift construction never touches solver state;
+    reference bar: termination.jl:33-45 applied to mirror_prox.jl:
+    623-919). MP prepare has no _reuse fast path (its f64 tail pays a
+    fresh ingest)."""
+    if _is_mp_params(params):
+        from .models import mirror_prox as _mp
+
+        return _mp.prepare_problem(params, problem, warm_start=warm_start)
+    return _pdhg.prepare_problem(
+        params, problem, warm_start=warm_start, _reuse=_reuse
+    )
+
+
+def _optimize(params, problem, prepared):
+    if _is_mp_params(params):
+        from .models import mirror_prox as _mp
+
+        return _mp.optimize(params, problem, prepared=prepared)
+    return _pdhg.optimize(params, problem, prepared=prepared)
+
+
 def _phase1_refinable(out) -> bool:
     """Whether the f32 phase produced a point worth refining.
 
@@ -102,8 +131,8 @@ def optimize_split_precision(
     prepare_problem on the phase-1 params, see phase1_params)."""
     p1 = phase1_params(params, switch_tolerance)
     if prepared is None:
-        prepared = _pdhg.prepare_problem(p1, problem)
-    out1 = _pdhg.optimize(p1, problem, prepared=prepared)
+        prepared = _prepare(p1, problem)
+    out1 = _optimize(p1, problem, prepared)
     crit = params.termination_criteria
     if not _phase1_refinable(out1):
         return out1
@@ -142,13 +171,13 @@ def optimize_split_precision(
             crit, iteration_limit=remaining
         ),
     )
-    prep2 = _pdhg.prepare_problem(
+    prep2 = _prepare(
         p2,
         problem,
         warm_start=(out1.primal_solution, out1.dual_solution),
         _reuse=prepared,
     )
-    out2 = _pdhg.optimize(p2, problem, prepared=prep2)
+    out2 = _optimize(p2, problem, prep2)
 
     kkt1 = last1.cumulative_kkt_matrix_passes
     t1 = last1.cumulative_time_sec
@@ -166,10 +195,12 @@ def optimize_split_precision(
 
 
 def phase1_params(
-    params: _pdhg.PdhgParameters, switch_tolerance: float = 1e-6
-) -> _pdhg.PdhgParameters:
+    params, switch_tolerance: float = 1e-6
+):
     """The f32 phase's parameters (public so callers can prepare_problem
-    against them and pass `prepared` into optimize_split_precision)."""
+    against them and pass `prepared` into optimize_split_precision).
+    Works on PdhgParameters and MirrorProxParameters alike (both carry
+    dtype/stats_dtype/matrix_format and the criteria)."""
     crit = params.termination_criteria
     relaxed = dataclasses.replace(
         crit,
@@ -375,8 +406,39 @@ def _prepare_shifted_fast(prepared, params, c_hat, b_hat, lo, hi,
             ),
         ),
     )
-    state = _pdhg._initial_state(new_bundle, f32)
     import types
+
+    if _is_mp_params(params):
+        from .models import mirror_prox as _mp
+
+        # A and Q are unchanged by the shift, so the mirror-map
+        # diagonal scalings' matrix norms are phase 1's; only the
+        # scale-invariant primal-weight fold changes with the shifted
+        # c_s/b_s (initial_mp_scalings recomputes both host-side,
+        # reference mirror_prox.jl:484-550, 677-688).
+        shim = types.SimpleNamespace(
+            constraint_matrix=sp_prob.scaled_qp.constraint_matrix,
+            objective_matrix=sp_prob.scaled_qp.objective_matrix,
+            objective_vector=c_s,
+            right_hand_side=b_s,
+        )
+        px, py, pw = _mp.initial_mp_scalings(shim, params)
+        state = _mp.make_initial_state(
+            new_bundle.scaled.num_variables,
+            new_bundle.scaled.num_constraints,
+            f32,
+            prepared.initial_state.step_size.astype(f32),
+            px,
+            py,
+            pw,
+        )
+        return _mp.PreparedMpProblem(
+            scaled_problem=sp_prob,
+            bundle=new_bundle,
+            initial_state=state,
+        )
+
+    state = _pdhg._initial_state(new_bundle, f32)
 
     from .models.common import initial_primal_weight_host
 
@@ -457,8 +519,8 @@ def optimize_iterative_refinement(
     cone shift. Returns (output, used_fallback)."""
     p1 = phase1_params(params, switch_tolerance)
     if prepared is None:
-        prepared = _pdhg.prepare_problem(p1, problem)
-    out1 = _pdhg.optimize(p1, problem, prepared=prepared)
+        prepared = _prepare(p1, problem)
+    out1 = _optimize(p1, problem, prepared)
     crit = params.termination_criteria
     if not _phase1_refinable(out1):
         return out1, False
@@ -587,7 +649,7 @@ def optimize_iterative_refinement(
         prep_shift = _prepare_shifted_fast(
             prepared, sub_params, c_hat, b_hat, lo_hat, hi_hat, eq_mask
         )
-        sub = _pdhg.optimize(sub_params, problem, prepared=prep_shift)
+        sub = _optimize(sub_params, problem, prep_shift)
         # NUMERICAL_ERROR on the shifted solve usually means movement
         # hit zero at f32 exactness, and a capped (ITERATION_LIMIT)
         # solve still carries a partial correction - both are applied
@@ -648,10 +710,8 @@ def optimize_iterative_refinement(
             crit, iteration_limit=remaining
         ),
     )
-    prep2 = _pdhg.prepare_problem(
-        p2, problem, warm_start=(x, y), _reuse=prepared
-    )
-    out2 = _pdhg.optimize(p2, problem, prepared=prep2)
+    prep2 = _prepare(p2, problem, warm_start=(x, y), _reuse=prepared)
+    out2 = _optimize(p2, problem, prep2)
     stats = stats_tail + _offset_stats(
         out2.iteration_stats, total_iters, kkt, t_accum
     )

@@ -128,3 +128,62 @@ def test_iterative_refinement_qp():
         ci = out.iteration_stats[-1].convergence_information[0]
         assert ci.relative_optimality_gap < 1e-8
         assert not used_fallback, make.__name__
+
+
+# ---------------------------------------------------------------------------
+# Mirror Prox refinement (round-4: the reference holds MP to the same
+# 1e-8 bar as PDHG - miplib_pdhg_mp_1h.csv; refine.py's shift machinery
+# is solver-agnostic and now dispatches both solvers)
+# ---------------------------------------------------------------------------
+
+
+def _mp_params_1e8(ruiz_iterations=10):
+    from firstorderlp_tpu import MirrorProxParameters
+
+    from utils import default_restart_params
+
+    return MirrorProxParameters(
+        l_inf_ruiz_iterations=ruiz_iterations,
+        l2_norm_rescaling=False,
+        pock_chambolle_alpha=1.0,
+        primal_importance=1.0,
+        scale_invariant_initial_primal_weight=True,
+        diagonal_scaling="l2",
+        verbosity=0,
+        record_iteration_stats=True,
+        termination_evaluation_frequency=40,
+        termination_criteria=optimality_criteria(1e-8),
+        restart_params=default_restart_params(),
+    )
+
+
+def test_mp_split_precision_reaches_1e8():
+    out = optimize_split_precision(_mp_params_1e8(), example_lp())
+    assert (
+        out.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal_solution), [1.0, 0.0, 6.0, 2.0], atol=1e-6
+    )
+
+
+def test_mp_iterative_refinement_certifies():
+    from firstorderlp_tpu.refine import optimize_iterative_refinement
+
+    out, used_fallback = optimize_iterative_refinement(
+        _mp_params_1e8(), example_lp()
+    )
+    assert (
+        out.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal_solution), [1.0, 0.0, 6.0, 2.0], atol=1e-6
+    )
+    # certified in f64 on the original problem regardless of path
+    last = out.iteration_stats[-1]
+    ci = last.convergence_information[0]
+    assert ci.relative_l2_primal_residual < 1e-8
+    assert ci.relative_l2_dual_residual < 1e-8
+    assert abs(ci.relative_optimality_gap) < 1e-8
