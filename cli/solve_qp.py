@@ -41,6 +41,12 @@ def parse_command_line():
     p.add_argument("--instance_path", required=True)
     p.add_argument("--l_inf_ruiz_iterations", type=int, default=10)
     p.add_argument("--l2_norm_rescaling", type=str2bool, default=False)
+    p.add_argument(
+        "--bound_width_rescaling", type=str2bool, default=False,
+        help="normalize two-sided bound intervals to unit width before "
+             "Ruiz/L2/PC (framework addition; fixes gap conditioning "
+             "on bound-width spreads - see preprocess.py)",
+    )
     p.add_argument("--pock_chambolle_rescaling", type=str2bool, default=True)
     p.add_argument("--pock_chambolle_alpha", type=float, default=1.0)
     p.add_argument("--primal_importance", type=float, default=1.0)
@@ -206,6 +212,7 @@ def build_parameters(args):
         mp_params = folp.MirrorProxParameters(
             l_inf_ruiz_iterations=args.l_inf_ruiz_iterations,
             l2_norm_rescaling=args.l2_norm_rescaling,
+            bound_width_rescaling=args.bound_width_rescaling,
             pock_chambolle_alpha=pock_chambolle_alpha,
             primal_importance=args.primal_importance,
             scale_invariant_initial_primal_weight=(
@@ -242,6 +249,7 @@ def build_parameters(args):
     params = folp.PdhgParameters(
         l_inf_ruiz_iterations=args.l_inf_ruiz_iterations,
         l2_norm_rescaling=args.l2_norm_rescaling,
+        bound_width_rescaling=args.bound_width_rescaling,
         pock_chambolle_alpha=pock_chambolle_alpha,
         primal_importance=args.primal_importance,
         scale_invariant_initial_primal_weight=(

@@ -430,6 +430,9 @@ def prepare_shared_pattern_fleet(
             )
         )
         and all(p.objective_matrix.nnz == 0 for p in problems)
+        # the device fleet rescale implements Ruiz/L2/PC only; the
+        # bound-width step rides the per-instance slow path
+        and not getattr(params, "bound_width_rescaling", False)
     )
     if fast_ok:
         try:

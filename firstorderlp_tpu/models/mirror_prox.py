@@ -90,6 +90,8 @@ class MirrorProxParameters:
     # Matrix layout of the ORIGINAL (stats) copy (None = matrix_format;
     # same contract as PdhgParameters.stats_matrix_format).
     stats_matrix_format: Optional[str] = None
+    # Bound-width column rescaling (same contract as PdhgParameters).
+    bound_width_rescaling: bool = False
     # Checkpoint/resume (same contract as PdhgParameters).
     checkpoint_path: Optional[str] = None
     checkpoint_every_n_dispatches: int = 1
@@ -560,6 +562,9 @@ def prepare_problem(
         params.pock_chambolle_alpha,
         params.verbosity,
         original_problem,
+        bound_width_rescaling_flag=getattr(
+            params, "bound_width_rescaling", False
+        ),
     )
     dtype = jnp.dtype(params.dtype)
     stats_dtype = (

@@ -147,6 +147,13 @@ class PdhgParameters:
     # (m, n, nnz) padding bucket, so XLA programs are shared across
     # every instance in a bucket (benchmarking/run_campaign.py --tpu).
     stats_matrix_format: Optional[str] = None
+    # Bound-width column rescaling applied BEFORE Ruiz/L2/PC (no
+    # reference counterpart; preprocess.bound_width_rescaling). Fixes
+    # gap-conditioning on problems whose finite bound widths span many
+    # decades (the badly_scaled family: KKT-cap -> OPTIMAL at 13x fewer
+    # passes). Off by default: the default pipeline stays
+    # reference-parity.
+    bound_width_rescaling: bool = False
     # Write a jax.profiler trace of the solve to this directory
     # (TensorBoard format). The reference's only instrumentation is
     # wall-clock + KKT-pass counters (SURVEY 5.1); both are kept, this
@@ -868,6 +875,9 @@ def prepare_problem(
             params.pock_chambolle_alpha,
             params.verbosity,
             original_problem,
+            bound_width_rescaling_flag=getattr(
+                params, "bound_width_rescaling", False
+            ),
         )
         bundle = to_device_scaled(
             scaled_problem,

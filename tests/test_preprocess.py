@@ -219,3 +219,114 @@ def test_undo_presolve_projects_primal():
     # Reinserted empty column gets 0 then projected to its lower bound 2;
     # the negative entry is clipped to the original bounds.
     np.testing.assert_allclose(primal, [0.5, 0.0, 2.0])
+
+
+# ---------------------------------------------------------------------------
+# Bound-width rescaling (round-4 framework addition, no reference
+# counterpart - preprocess.bound_width_rescaling)
+# ---------------------------------------------------------------------------
+
+
+def test_bound_width_rescaling_normalizes_widths():
+    import numpy as np
+    import scipy.sparse as sp
+
+    from firstorderlp_tpu import linear_programming_problem
+    from firstorderlp_tpu.preprocess import rescale_problem
+
+    lo = np.array([0.0, -1e4, 0.0, -np.inf, 2.0])
+    hi = np.array([1e-3, 1e4, np.inf, 5.0, 2.0])  # widths: 1e-3, 2e4,
+    # inf (one-sided), inf (one-sided), 0 (fixed)
+    problem = linear_programming_problem(
+        lo, hi, np.ones(5), 0.0,
+        sp.eye(5, format="csc"), np.zeros(5), 0,
+    )
+    scaled = rescale_problem(
+        0, False, None, 0, problem, bound_width_rescaling_flag=True
+    )
+    slo = scaled.scaled_qp.variable_lower_bound
+    shi = scaled.scaled_qp.variable_upper_bound
+    width = shi - slo
+    # two-sided finite variables -> unit width
+    np.testing.assert_allclose(width[0], 1.0)
+    np.testing.assert_allclose(width[1], 1.0)
+    # one-sided / free / fixed variables untouched
+    np.testing.assert_allclose(scaled.variable_rescaling[2:], 1.0)
+    # invertibility: cumulative vectors recover the original bounds
+    np.testing.assert_allclose(
+        slo / scaled.variable_rescaling, lo
+    )
+
+
+def test_bound_width_rescaling_solves_badly_scaled_lp():
+    """A planted bound-width spread makes the duality-gap criterion
+    ill-conditioned even with a perfectly Ruiz-equilibrated matrix;
+    the bound-width step fixes the conditioning (measured 13x fewer
+    KKT passes on the campaign's badly_scaled family; here a small
+    instance must certify 1e-8 within a budget the plain pipeline
+    busts)."""
+    import dataclasses
+
+    import numpy as np
+    import scipy.sparse as sp
+
+    from firstorderlp_tpu import (
+        TerminationReason,
+        linear_programming_problem,
+    )
+    from firstorderlp_tpu.models.pdhg import optimize
+
+    from utils import optimality_criteria, pdhg_params
+
+    rng = np.random.default_rng(7)
+    m, n = 80, 60
+    a = sp.random(
+        m, n, density=0.15, random_state=np.random.RandomState(7),
+        data_rvs=rng.standard_normal, format="csc",
+    )
+    a = sp.csc_matrix(
+        a + sp.csc_matrix(
+            (np.ones(m), (np.arange(m), rng.integers(0, n, m))),
+            shape=(m, n),
+        )
+    )
+    x0 = rng.uniform(-1, 1, n)
+    b = np.asarray(a @ x0).ravel()
+    b[8:] -= rng.uniform(0.1, 1.0, m - 8)
+    row_scale = 10.0 ** rng.uniform(-4, 4, m)
+    col_scale = 10.0 ** rng.uniform(-4, 4, n)
+    a_bad = sp.csc_matrix(
+        sp.diags(row_scale) @ a @ sp.diags(col_scale)
+    )
+    problem = linear_programming_problem(
+        np.full(n, -2.0) / col_scale,
+        np.full(n, 2.0) / col_scale,
+        rng.standard_normal(n) * col_scale,
+        0.0,
+        a_bad,
+        b * row_scale,
+        8,
+    )
+    criteria = dataclasses.replace(
+        optimality_criteria(1e-8), kkt_matrix_pass_limit=2e4
+    )
+    base = pdhg_params(
+        criteria, ruiz_iterations=10, pock_chambolle_alpha=1.0
+    )
+    plain = optimize(base, problem)
+    fixed = optimize(
+        dataclasses.replace(base, bound_width_rescaling=True), problem
+    )
+    assert (
+        fixed.termination_reason
+        == TerminationReason.TERMINATION_REASON_OPTIMAL
+    ), fixed.termination_string
+    assert (
+        plain.termination_reason
+        != TerminationReason.TERMINATION_REASON_OPTIMAL
+    ), "plain pipeline unexpectedly solved; tighten the planted spread"
+    # and the solution is the ORIGINAL problem's optimum (criteria are
+    # evaluated on the unscaled problem)
+    ci = fixed.iteration_stats[-1].convergence_information[0]
+    assert ci.relative_l2_primal_residual < 1e-8
+    assert abs(ci.relative_optimality_gap) < 1e-8
