@@ -207,6 +207,49 @@ class ShardedRoutedOp:
         return shmap(*self._plan_leaves(), y)
 
 
+def _pad_chunks(a, target):
+    return np.pad(
+        a, ((0, target - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+    )
+
+
+def _pad_groups_strip(a, target, nstrips):
+    # padding groups read/accumulate-zero on the LAST strip so the
+    # kernel's revisit-in-VMEM output block does not bounce back to
+    # strip 0 at the end of the grid.
+    pad = target - a.shape[0]
+    return np.concatenate([a, np.full(pad, nstrips - 1, dtype=a.dtype)])
+
+
+def _pad_groups_meta(a, target, nstrips):
+    pad = target - a.shape[0]
+    extra = np.zeros((pad, a.shape[1]), dtype=a.dtype)
+    extra[:, 0] = nstrips - 1  # strip id; first/last flags stay 0
+    return np.concatenate([a, extra])
+
+
+def pad_plan_block(
+    block, nchunks_e, nchunks_r, ngroups_e, ngroups_r
+):
+    """Pads one block's PlanArrays to the fleet-shared chunk/group
+    counts (zero-valued chunks route to chunk 0 / the last strip, which
+    accumulate exact zeros). Shared by build_sharded_routed_op (global
+    matrix on every host) and parallel.shard_ingest's host-sharded
+    builder (each process pads only its local blocks)."""
+    return dict(
+        loc_e=_pad_chunks(block.loc_e, nchunks_e),
+        vals_e=_pad_chunks(block.vals_e, nchunks_e),
+        strip_e=_pad_groups_strip(block.strip_e, ngroups_e, block.cb),
+        meta_e=_pad_groups_meta(block.meta_e, ngroups_e, block.cb),
+        chunk_src_e=_pad_chunks(block.chunk_src_e, nchunks_e),
+        loc_r=_pad_chunks(block.loc_r, nchunks_r),
+        vals_r=_pad_chunks(block.vals_r, nchunks_r),
+        strip_r=_pad_groups_strip(block.strip_r, ngroups_r, block.rb),
+        meta_r=_pad_groups_meta(block.meta_r, ngroups_r, block.rb),
+        chunk_src_r=_pad_chunks(block.chunk_src_r, nchunks_r),
+    )
+
+
 def build_sharded_routed_op(
     matrix: sp.spmatrix,
     plan: RoutedShardPlan,
@@ -254,40 +297,16 @@ def build_sharded_routed_op(
     ngroups_e = max(b.strip_e.shape[0] for b in blocks)
     ngroups_r = max(b.strip_r.shape[0] for b in blocks)
 
-    def pad_chunks(a, target):
-        return np.pad(a, ((0, target - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
-
-    def pad_groups_strip(a, target, nstrips):
-        # padding groups read/accumulate-zero on the LAST strip so the
-        # kernel's revisit-in-VMEM output block does not bounce back to
-        # strip 0 at the end of the grid.
-        pad = target - a.shape[0]
-        return np.concatenate(
-            [a, np.full(pad, nstrips - 1, dtype=a.dtype)]
+    padded = [
+        pad_plan_block(b, nchunks_e, nchunks_r, ngroups_e, ngroups_r)
+        for b in blocks
+    ]
+    host = {
+        field: np.stack([pb[field] for pb in padded]).reshape(
+            (d, pr) + padded[0][field].shape
         )
-
-    def pad_groups_meta(a, target, nstrips):
-        pad = target - a.shape[0]
-        extra = np.zeros((pad, a.shape[1]), dtype=a.dtype)
-        extra[:, 0] = nstrips - 1  # strip id; first/last flags stay 0
-        return np.concatenate([a, extra])
-
-    def stack(field, padder, *args):
-        arr = np.stack([padder(getattr(b, field), *args) for b in blocks])
-        return arr.reshape((d, pr) + arr.shape[1:])
-
-    host = dict(
-        loc_e=stack("loc_e", pad_chunks, nchunks_e),
-        vals_e=stack("vals_e", pad_chunks, nchunks_e),
-        strip_e=stack("strip_e", pad_groups_strip, ngroups_e, cb),
-        meta_e=stack("meta_e", pad_groups_meta, ngroups_e, cb),
-        chunk_src_e=stack("chunk_src_e", pad_chunks, nchunks_e),
-        loc_r=stack("loc_r", pad_chunks, nchunks_r),
-        vals_r=stack("vals_r", pad_chunks, nchunks_r),
-        strip_r=stack("strip_r", pad_groups_strip, ngroups_r, rb),
-        meta_r=stack("meta_r", pad_groups_meta, ngroups_r, rb),
-        chunk_src_r=stack("chunk_src_r", pad_chunks, nchunks_r),
-    )
+        for field in padded[0]
+    }
 
     if share_plan_with is not None:
         donor = share_plan_with

@@ -18,11 +18,17 @@ sign flips, equalities-first permutation) and rescale_problem
 (/root/reference/src/preprocess.jl:631-687). The reference itself is
 single-process Julia; the sharded construction is TPU-native new work.
 
-Scope (v1): LP only, rows partitioned over the mesh's 'dual' axis
-(n_primal must be 1 - the 2-D block-partitioned COMPUTE path is
-ops/routed_sharded.py; this module removes the per-host ingest
-bottleneck), adaptive step-size rule, no RANGES/two-sided rows (run
-those through io.standard_form first).
+Scope: LP only, adaptive step-size rule, no RANGES/two-sided rows (a
+two-sided row adds a slack COLUMN, so its entries cannot be emitted by
+a row-range loader without global slack-index agreement; convert those
+instances through qps_reader_to_standard_form + io.mps_writer first -
+a structural v1 restriction, documented not lifted). Two layouts:
+
+- matrix_format="routed" (f32): host-sharded ingest feeding the (D, P)
+  block-routed Pallas path (host_sharded_routed_optimize) - the fast
+  multi-chip kernels on 1-D and 2-D meshes.
+- anything else: the v1 row-block ELL layout (rows only, n_primal must
+  be 1); kept for f64 solves, which the routed layout cannot run.
 """
 
 from __future__ import annotations
@@ -66,6 +72,11 @@ class RowShardSpec:
     variable_upper_bound: np.ndarray  # (n,)
     right_hand_side: np.ndarray  # (m,) standard-form order
     row_loader: Callable[[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]]
+    # total constraint nonzeros, when the loader can count them cheaply
+    # (pass 1 reads every COLUMNS line anyway). Used by the routed
+    # builder to pick the block strip geometry BEFORE loading; None
+    # falls back to a density estimate.
+    nnz: Optional[int] = None
 
 
 def mps_row_shard_spec(filename: str, fixed_format: bool = False) -> RowShardSpec:
@@ -93,6 +104,7 @@ def mps_row_shard_spec(filename: str, fixed_format: bool = False) -> RowShardSpe
     obj_rhs = 0.0
     bounds: list = []
     section = None
+    nnz_count = 0
 
     for line in _lines(filename):
         if not line[0].isspace():
@@ -143,6 +155,8 @@ def mps_row_shard_spec(filename: str, fixed_format: bool = False) -> RowShardSpe
                     c_entries[col] = c_entries.get(col, 0.0) + float(
                         pairs[i + 1]
                     )
+                else:
+                    nnz_count += 1
                 # matrix entries are intentionally NOT stored here
         elif section == "RHS":
             pairs = fields[1:]
@@ -266,6 +280,7 @@ def mps_row_shard_spec(filename: str, fixed_format: bool = False) -> RowShardSpe
         variable_upper_bound=uvar,
         right_hand_side=b,
         row_loader=row_loader,
+        nnz=nnz_count,
     )
 
 
@@ -300,6 +315,7 @@ def problem_row_shard_spec(problem) -> RowShardSpec:
         ),
         right_hand_side=np.asarray(problem.right_hand_side, np.float64),
         row_loader=row_loader,
+        nnz=int(csr.nnz),
     )
 
 
@@ -451,6 +467,156 @@ class RowBlockEllOp:
 # ---------------------------------------------------------------------------
 
 
+def _rescale_coo_core(v, rl, cg, m_b, n, ruiz_iterations, l2_flag,
+                      pc_alpha):
+    """Ruiz/L2/Pock-Chambolle on one block-local COO (inside shard_map;
+    cross-block column reductions psum/pmax over 'dual'). Reproduces
+    rescale_problem's composition (preprocess.py:191-245; reference
+    preprocess.jl:626-687) in the value dtype. Returns
+    (scaled values, cum_con (m_b,), cum_var (n,))."""
+    dt = v.dtype
+    one = jnp.ones((), dt)
+    cum_con = jnp.ones((m_b,), dt)
+    cum_var = jnp.ones((n,), dt)
+
+    def fix(s):
+        return jnp.where(s > 0, s, one)
+
+    def seg_max(x, ids, num):
+        return jax.ops.segment_max(x, ids, num)
+
+    def seg_sum(x, ids, num):
+        return jax.ops.segment_sum(x, ids, num)
+
+    for _ in range(ruiz_iterations):
+        con = fix(jnp.sqrt(seg_max(jnp.abs(v), rl, m_b)))
+        var = fix(
+            jnp.sqrt(jax.lax.pmax(seg_max(jnp.abs(v), cg, n), "dual"))
+        )
+        v = v / con[rl] / var[cg]
+        cum_con = cum_con * con
+        cum_var = cum_var * var
+
+    if l2_flag:
+        con = fix(jnp.sqrt(jnp.sqrt(seg_sum(v * v, rl, m_b))))
+        var = fix(
+            jnp.sqrt(
+                jnp.sqrt(jax.lax.psum(seg_sum(v * v, cg, n), "dual"))
+            )
+        )
+        v = v / con[rl] / var[cg]
+        cum_con = cum_con * con
+        cum_var = cum_var * var
+
+    if pc_alpha is not None:
+        absv = jnp.abs(v)
+        var = fix(
+            jnp.sqrt(
+                jax.lax.psum(
+                    seg_sum(absv ** (2.0 - pc_alpha), cg, n), "dual"
+                )
+            )
+        )
+        con = fix(jnp.sqrt(seg_sum(absv**pc_alpha, rl, m_b)))
+        v = v / con[rl] / var[cg]
+        cum_con = cum_con * con
+        cum_var = cum_var * var
+
+    return v, cum_con, cum_var
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "m_b",
+        "n",
+        "ruiz_iterations",
+        "l2_flag",
+        "pc_alpha",
+    ),
+)
+def _sharded_rescale_coo(
+    vals,  # (D, nnz_b) solve dtype, zero-padded local COO values
+    rows_loc,  # (D, nnz_b) int32 block-LOCAL row ids (pads -> 0)
+    cols,  # (D, nnz_b) int32 global col ids (pads -> 0)
+    b_blk,  # (D, m_b)
+    c_vec,  # (n,) replicated
+    lo_vec,
+    hi_vec,
+    mesh,
+    m_b,
+    n,
+    ruiz_iterations,
+    l2_flag,
+    pc_alpha,
+):
+    """COO-output variant of _sharded_rescale_build (no ELL plane
+    scatter): used by the routed host-sharded builder, which needs the
+    SCALED entry values back on the host to build per-block tile plans
+    (the tile-plan construction is host-side numpy)."""
+
+    def body(vals, rows_loc, cols, b_blk):
+        v_orig = vals[0]
+        rl = rows_loc[0]
+        cg = cols[0]
+        v, cum_con, cum_var = _rescale_coo_core(
+            v_orig, rl, cg, m_b, n, ruiz_iterations, l2_flag, pc_alpha
+        )
+        b_scaled = b_blk[0] / cum_con
+        c_scaled = c_vec / cum_var
+        lo_scaled = lo_vec * cum_var
+        hi_scaled = hi_vec * cum_var
+        inf_norm = jax.lax.pmax(jnp.max(jnp.abs(v)), "dual")
+        step_size = jnp.where(inf_norm > 0, 1.0 / inf_norm, 1.0)
+        norm_c = jnp.linalg.norm(c_scaled)
+        norm_b = jnp.sqrt(
+            jax.lax.psum(jnp.sum(b_scaled * b_scaled), "dual")
+        )
+        linf_b = jax.lax.pmax(
+            jnp.max(jnp.abs(b_blk[0]), initial=0.0), "dual"
+        )
+        l2_b = jnp.sqrt(
+            jax.lax.psum(jnp.sum(b_blk[0] * b_blk[0]), "dual")
+        )
+        return (
+            v[None],
+            b_scaled[None],
+            c_scaled,
+            lo_scaled,
+            hi_scaled,
+            cum_con[None],
+            cum_var,
+            step_size,
+            norm_c,
+            norm_b,
+            linf_b,
+            l2_b,
+        )
+
+    blk = lambda leaf_ndim: P("dual", *([None] * (leaf_ndim - 1)))
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(blk(2), blk(2), blk(2), blk(2)),
+        out_specs=(
+            blk(2),
+            P("dual", None),
+            P(),
+            P(),
+            P(),
+            P("dual", None),
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        check_vma=False,
+    )(vals, rows_loc, cols, b_blk)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -489,58 +655,10 @@ def _sharded_rescale_build(
         v = vals[0]
         rl = rows_loc[0]
         cg = cols[0]
-        dt = v.dtype
-        one = jnp.ones((), dt)
-        cum_con = jnp.ones((m_b,), dt)
-        cum_var = jnp.ones((n,), dt)
         v_orig = v
-
-        def fix(s):
-            return jnp.where(s > 0, s, one)
-
-        def seg_max(x, ids, num):
-            return jax.ops.segment_max(x, ids, num)
-
-        def seg_sum(x, ids, num):
-            return jax.ops.segment_sum(x, ids, num)
-
-        for _ in range(ruiz_iterations):
-            con = fix(jnp.sqrt(seg_max(jnp.abs(v), rl, m_b)))
-            var = fix(
-                jnp.sqrt(
-                    jax.lax.pmax(seg_max(jnp.abs(v), cg, n), "dual")
-                )
-            )
-            v = v / con[rl] / var[cg]
-            cum_con = cum_con * con
-            cum_var = cum_var * var
-
-        if l2_flag:
-            con = fix(jnp.sqrt(jnp.sqrt(seg_sum(v * v, rl, m_b))))
-            var = fix(
-                jnp.sqrt(
-                    jnp.sqrt(
-                        jax.lax.psum(seg_sum(v * v, cg, n), "dual")
-                    )
-                )
-            )
-            v = v / con[rl] / var[cg]
-            cum_con = cum_con * con
-            cum_var = cum_var * var
-
-        if pc_alpha is not None:
-            absv = jnp.abs(v)
-            var = fix(
-                jnp.sqrt(
-                    jax.lax.psum(
-                        seg_sum(absv ** (2.0 - pc_alpha), cg, n), "dual"
-                    )
-                )
-            )
-            con = fix(jnp.sqrt(seg_sum(absv**pc_alpha, rl, m_b)))
-            v = v / con[rl] / var[cg]
-            cum_con = cum_con * con
-            cum_var = cum_var * var
+        v, cum_con, cum_var = _rescale_coo_core(
+            v, rl, cg, m_b, n, ruiz_iterations, l2_flag, pc_alpha
+        )
 
         def planes(values, ids_list):
             out = []
@@ -669,11 +787,14 @@ def host_sharded_optimize(params, spec: RowShardSpec, mesh: Mesh):
     from ..problem import ScaledQpProblem
     from ..saddle_point import fetch_global
 
+    if getattr(params, "matrix_format", "auto") == "routed":
+        return host_sharded_routed_optimize(params, spec, mesh)
     if mesh.shape.get("primal", 1) != 1:
         raise ValueError(
-            "host-sharded ingest partitions rows only; use a mesh with "
-            "n_primal == 1 (2-D compute partitioning is "
-            "parallel.sharded_optimize)"
+            "the row-block ELL layout partitions rows only; for a 2-D "
+            "('dual','primal') mesh use matrix_format='routed' "
+            "(host_sharded_routed_optimize) or "
+            "parallel.sharded_optimize"
         )
     if not isinstance(
         params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
@@ -1033,5 +1154,393 @@ def host_sharded_optimize(params, spec: RowShardSpec, mesh: Mesh):
     return dataclasses.replace(
         output,
         primal_solution=np.asarray(output.primal_solution),
+        dual_solution=np.asarray(output.dual_solution)[:m],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Routed compose: host-sharded ingest feeding the (D, P) block-routed
+# Pallas path (ops/routed_sharded.py) - no host ever materializes the
+# full matrix AND the solve runs the fast kernels (round-3 verdict item
+# 3: the v1 ELL row-block path could not feed the routed layout).
+# ---------------------------------------------------------------------------
+
+
+def host_sharded_routed_optimize(params, spec: RowShardSpec, mesh: Mesh):
+    """Multi-host ingest -> block-routed multi-chip solve.
+
+    Each process loads only the row blocks its devices own
+    (spec.row_loader), the Ruiz/L2/PC rescale runs on device over the
+    row-sharded COO (_sharded_rescale_coo, column norms psum'd over
+    'dual'), the SCALED local values come back to the host (O(local
+    nnz)) to build the per-(d, p) routed tile plans, and the global
+    (D, P, ...) plan arrays are assembled shard-by-shard with
+    jax.make_array_from_callback. Works on 1-D ('dual') and 2-D
+    ('dual','primal') meshes - the v1 n_primal == 1 restriction applied
+    to the row-block ELL layout only.
+
+    Reference semantics: qps_reader_to_standard_form + rescale_problem
+    (quadratic_programming_io.jl:147-197, preprocess.jl:631-687); the
+    sharded construction is TPU-native new work (SURVEY section 2,
+    "Host-sharded MPS ingest -> padded layouts").
+    """
+    from ..models import pdhg as _pdhg
+    from ..ops.device_problem import DeviceQp, DeviceQpCache, DeviceScaledQp
+    from ..ops.routed import build_plan_arrays
+    from ..ops.routed_sharded import (
+        ShardedRoutedOp,
+        pad_plan_block,
+        plan_routed_shards,
+    )
+    from ..problem import ScaledQpProblem
+    from ..saddle_point import fetch_global
+
+    dtype = jnp.dtype(params.dtype)
+    if dtype != jnp.float32:
+        raise ValueError("the routed layout computes in f32")
+    if not isinstance(
+        params.step_size_policy_params, _pdhg.AdaptiveStepsizeParams
+    ):
+        raise ValueError(
+            "host-sharded ingest requires the adaptive step rule"
+        )
+    np_dtype = np.dtype(dtype.name)
+    m, n = spec.num_constraints, spec.num_variables
+    d_blocks = mesh.shape.get("dual", 1)
+    p_blocks = mesh.shape.get("primal", 1)
+
+    nnz_est = spec.nnz if spec.nnz else 8 * max(m, n)
+    plan = plan_routed_shards(m, n, nnz_est, mesh)
+    m_pad = max(
+        -(-m // plan.row_multiple) * plan.row_multiple, plan.row_multiple
+    )
+    n_pad = max(
+        -(-n // plan.col_multiple) * plan.col_multiple, plan.col_multiple
+    )
+    m_b = m_pad // d_blocks
+    n_loc = n_pad // p_blocks
+
+    pid = jax.process_index()
+    dev_grid = mesh.devices.reshape(d_blocks, p_blocks)
+    local_dp = [
+        (d, p)
+        for d in range(d_blocks)
+        for p in range(p_blocks)
+        if dev_grid[d, p].process_index == pid
+    ]
+    local_d = sorted({d for d, _ in local_dp})
+
+    # ---- host: load local row blocks (pattern + original values) ----
+    blocks = {}
+    local_nnz_max = np.zeros(1, dtype=np.int64)
+    for d in local_d:
+        lo, hi = d * m_b, min((d + 1) * m_b, m)
+        rows_g, cols_g, vals = (
+            spec.row_loader(lo, hi)
+            if lo < m
+            else (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.float64),
+            )
+        )
+        csr = sp.csr_matrix(
+            (vals, (rows_g - lo, cols_g)), shape=(m_b, n_pad)
+        )
+        csr.sum_duplicates()
+        blocks[d] = csr
+        local_nnz_max[0] = max(local_nnz_max[0], csr.nnz)
+    nnz_b = max(int(_allmax_int(local_nnz_max)[0]), 1)
+
+    # ---- device: rescale on the row-sharded COO ----
+    def coo_field(fn, dtype_):
+        def get(d):
+            coo = blocks[d].tocoo()
+            out = np.zeros(nnz_b, dtype_)
+            out[: coo.nnz] = fn(coo)
+            return out[None]
+
+        return _global_array(
+            mesh, P("dual", None), (d_blocks, nnz_b), dtype_, get
+        )
+
+    vals = coo_field(lambda coo: coo.data.astype(np_dtype), np_dtype)
+    rows_loc = coo_field(lambda coo: coo.row.astype(np.int32), np.int32)
+    cols = coo_field(lambda coo: coo.col.astype(np.int32), np.int32)
+
+    b_full = np.zeros(m_pad, np_dtype)
+    b_full[:m] = spec.right_hand_side
+
+    def blk_vec(fn):
+        return _global_array(
+            mesh,
+            P("dual", None),
+            (d_blocks, m_b),
+            np_dtype,
+            lambda d: fn(d)[None],
+        )
+
+    b_blk = blk_vec(lambda d: b_full[d * m_b : (d + 1) * m_b])
+    rep = NamedSharding(mesh, P())
+
+    def pad_n(vec, fill=0.0):
+        out = np.full(n_pad, fill, np.float64)
+        out[:n] = vec
+        return out
+
+    c_vec = jax.device_put(
+        pad_n(spec.objective_vector).astype(np_dtype), rep
+    )
+    lo_vec = jax.device_put(
+        pad_n(spec.variable_lower_bound).astype(np_dtype), rep
+    )
+    hi_vec = jax.device_put(
+        pad_n(spec.variable_upper_bound).astype(np_dtype), rep
+    )
+
+    (
+        v_scaled,
+        b_scaled,
+        c_scaled,
+        lo_scaled,
+        hi_scaled,
+        cum_con,
+        cum_var,
+        step_size,
+        norm_c,
+        norm_b,
+        linf_b,
+        l2_b,
+    ) = _sharded_rescale_coo(
+        vals,
+        rows_loc,
+        cols,
+        b_blk,
+        c_vec,
+        lo_vec,
+        hi_vec,
+        mesh=mesh,
+        m_b=m_b,
+        n=n_pad,
+        ruiz_iterations=int(params.l_inf_ruiz_iterations),
+        l2_flag=bool(params.l2_norm_rescaling),
+        pc_alpha=None
+        if params.pock_chambolle_alpha is None
+        else float(params.pock_chambolle_alpha),
+    )
+
+    # ---- host: scaled values back (O(local nnz)), per-block plans ----
+    scaled_local = {}
+    for shard in v_scaled.addressable_shards:
+        d = shard.index[0].start or 0
+        if d not in scaled_local:
+            scaled_local[d] = np.asarray(shard.data).reshape(-1)
+
+    def block_plans(d, scaled):
+        csr = blocks[d]
+        if scaled:
+            data = scaled_local[d][: csr.nnz].astype(np.float64)
+        else:
+            data = csr.data
+        csr_v = sp.csr_matrix(
+            (data, csr.indices, csr.indptr), shape=csr.shape
+        )
+        return {
+            p: build_plan_arrays(
+                sp.csr_matrix(csr_v[:, p * n_loc : (p + 1) * n_loc]),
+                plan.group_rows,
+                plan.b2,
+                plan.hr,
+                plan.tile_aligned,
+            )
+            for p in {pp for dd, pp in local_dp if dd == d}
+        }
+
+    plans_scaled = {d: block_plans(d, True) for d in local_d}
+    plans_orig = {d: block_plans(d, False) for d in local_d}
+
+    any_plan = next(iter(next(iter(plans_scaled.values())).values()))
+    rb, cb = any_plan.rb, any_plan.cb
+    local_counts = np.zeros(4, dtype=np.int64)
+    for d, per_p in plans_scaled.items():
+        for b in per_p.values():
+            local_counts = np.maximum(
+                local_counts,
+                [
+                    b.loc_e.shape[0],
+                    b.loc_r.shape[0],
+                    b.strip_e.shape[0],
+                    b.strip_r.shape[0],
+                ],
+            )
+    nchunks_e, nchunks_r, ngroups_e, ngroups_r = (
+        int(x) for x in _allmax_int(local_counts)
+    )
+
+    padded = {
+        which: {
+            (d, p): pad_plan_block(
+                b, nchunks_e, nchunks_r, ngroups_e, ngroups_r
+            )
+            for d, per_p in plans.items()
+            for p, b in per_p.items()
+        }
+        for which, plans in (
+            ("scaled", plans_scaled),
+            ("orig", plans_orig),
+        )
+    }
+
+    def plan_array(which, field):
+        sample = padded[which][local_dp[0]][field]
+        shape = (d_blocks, p_blocks) + sample.shape
+        sharding = NamedSharding(
+            mesh, P("dual", "primal", *([None] * sample.ndim))
+        )
+
+        def cb_fn(index):
+            d = index[0].start or 0
+            p = index[1].start or 0
+            return padded[which][(d, p)][field][None, None]
+
+        return jax.make_array_from_callback(shape, sharding, cb_fn)
+
+    def make_op(which):
+        return ShardedRoutedOp(
+            loc_e=plan_array(which, "loc_e"),
+            vals_e=plan_array(which, "vals_e"),
+            strip_e=plan_array(which, "strip_e"),
+            meta_e=plan_array(which, "meta_e"),
+            chunk_src_e=plan_array(which, "chunk_src_e"),
+            loc_r=plan_array(which, "loc_r"),
+            vals_r=plan_array(which, "vals_r"),
+            strip_r=plan_array(which, "strip_r"),
+            meta_r=plan_array(which, "meta_r"),
+            chunk_src_r=plan_array(which, "chunk_src_r"),
+            num_rows=m_pad,
+            num_cols=n_pad,
+            b2=plan.b2,
+            hr=plan.hr,
+            cb=cb,
+            rb=rb,
+            group_rows=plan.group_rows,
+            mesh=mesh,
+            tile_aligned=plan.tile_aligned,
+        )
+
+    # ---- bundle with 2-D solve shardings ----
+    iseq_blk = _global_array(
+        mesh,
+        P("dual", None),
+        (d_blocks, m_b),
+        np.bool_,
+        lambda d: (
+            np.arange(d * m_b, (d + 1) * m_b) < spec.num_equalities
+        )[None],
+    )
+    primal_sh = NamedSharding(mesh, P("primal"))
+    dual_sh = NamedSharding(mesh, P("dual"))
+
+    def as_primal(x):
+        return jax.device_put(x, primal_sh)
+
+    def device_qp(op, cvec, rvec, lvec, uvec):
+        return DeviceQp(
+            variable_lower_bound=as_primal(lvec),
+            variable_upper_bound=as_primal(uvec),
+            objective_vector=as_primal(cvec),
+            objective_constant=jnp.asarray(
+                spec.objective_constant, np_dtype
+            ),
+            right_hand_side=jax.device_put(
+                rvec.reshape(-1), dual_sh
+            ),
+            is_equality=jax.device_put(
+                iseq_blk.reshape(-1), dual_sh
+            ),
+            constraint_matrix=op,
+            objective_matrix=None,
+        )
+
+    qp_cache = DeviceQpCache(
+        l_inf_norm_primal_linear_objective=jnp.max(jnp.abs(c_vec)),
+        l_inf_norm_primal_right_hand_side=linf_b,
+        l2_norm_primal_linear_objective=jnp.linalg.norm(c_vec),
+        l2_norm_primal_right_hand_side=l2_b,
+    )
+    bundle = DeviceScaledQp(
+        scaled=device_qp(
+            make_op("scaled"), c_scaled, b_scaled, lo_scaled, hi_scaled
+        ),
+        original=device_qp(make_op("orig"), c_vec, b_blk, lo_vec, hi_vec),
+        constraint_rescaling=jax.device_put(
+            cum_con.reshape(-1), dual_sh
+        ),
+        variable_rescaling=as_primal(cum_var),
+        qp_cache=qp_cache,
+    )
+
+    class _ShimScaled:
+        num_variables = n_pad
+        num_constraints = m_pad
+
+    class _Shim:
+        scaled = _ShimScaled()
+
+    template = jax.eval_shape(lambda: _pdhg._initial_state(_Shim(), dtype))
+
+    def make_leaf(leaf):
+        if leaf.ndim == 1 and leaf.shape[0] == m_pad:
+            sharding = dual_sh
+        elif leaf.ndim == 1 and leaf.shape[0] == n_pad:
+            sharding = primal_sh
+        else:
+            sharding = rep
+        return jax.make_array_from_callback(
+            leaf.shape,
+            sharding,
+            lambda index: np.zeros(leaf.shape, leaf.dtype)[index],
+        )
+
+    state = jax.tree_util.tree_map(make_leaf, template)
+    if params.scale_invariant_initial_primal_weight:
+        primal_weight = jnp.where(
+            (norm_c > 0) & (norm_b > 0),
+            params.primal_importance
+            * norm_c
+            / jnp.where(norm_b > 0, norm_b, 1.0),
+            params.primal_importance,
+        ).astype(dtype)
+    else:
+        primal_weight = jnp.asarray(params.primal_importance, dtype)
+    state = dataclasses.replace(
+        state,
+        step_size=step_size.astype(dtype),
+        primal_weight=primal_weight,
+        cumulative_kkt_passes=jnp.asarray(0.5, jnp.float64),
+    )
+
+    cum_con_h = fetch_global(cum_con).reshape(-1)[:m]
+    cum_var_h = fetch_global(cum_var)[:n]
+    scaled_problem = ScaledQpProblem(
+        original_qp=None,
+        scaled_qp=None,
+        constraint_rescaling=np.concatenate(
+            [cum_con_h.astype(np.float64), np.ones(m_pad - m)]
+        ),
+        variable_rescaling=np.concatenate(
+            [cum_var_h.astype(np.float64), np.ones(n_pad - n)]
+        ),
+    )
+
+    prepared = _pdhg.PreparedProblem(
+        scaled_problem=scaled_problem,
+        bundle=bundle,
+        initial_state=state,
+    )
+    output = _pdhg.optimize(params, None, prepared=prepared)
+    return dataclasses.replace(
+        output,
+        primal_solution=np.asarray(output.primal_solution)[:n],
         dual_solution=np.asarray(output.dual_solution)[:m],
     )

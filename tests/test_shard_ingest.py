@@ -281,3 +281,190 @@ def test_two_process_host_sharded_ingest(tmp_path):
     for got in loaded:
         assert got < 0.7 * nnz, (loaded, nnz)
     assert sum(loaded) == nnz, (loaded, nnz)
+
+
+# ---------------------------------------------------------------------------
+# Routed compose (round-4): host-sharded ingest feeding the (D, P)
+# block-routed path - no host materializes the full matrix AND the
+# solve runs the fast kernels, on 1-D and 2-D meshes.
+# ---------------------------------------------------------------------------
+
+
+def _routed_params(tol=1e-5):
+    import dataclasses
+
+    return dataclasses.replace(
+        _params(tol), dtype="float32", matrix_format="routed"
+    )
+
+
+@pytest.mark.parametrize("shape", [(4, 1), (2, 2)])
+def test_host_sharded_routed_matches_full_ingest(shape):
+    from firstorderlp_tpu.parallel.shard_ingest import (
+        host_sharded_routed_optimize,
+    )
+
+    problem = _random_lp(m=45, n=60, k_eq=9, seed=5)
+    full = folp.optimize(_params(), problem)  # f64 reference
+    mesh = solver_mesh(*shape)
+    out = host_sharded_routed_optimize(
+        _routed_params(), problem_row_shard_spec(problem), mesh
+    )
+    assert (
+        out.termination_reason
+        == folp.TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        out.primal_solution, full.primal_solution, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        out.dual_solution, full.dual_solution, atol=2e-3
+    )
+
+
+def test_host_sharded_dispatches_routed_on_2d_mesh():
+    """host_sharded_optimize with matrix_format='routed' must no longer
+    reject the 2-D mesh (the v1 restriction applied to the ELL layout
+    only)."""
+    problem = _random_lp(m=30, n=24, k_eq=6, seed=11)
+    mesh = solver_mesh(2, 2)
+    out = host_sharded_optimize(
+        _routed_params(), problem_row_shard_spec(problem), mesh
+    )
+    assert (
+        out.termination_reason
+        == folp.TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+
+
+ROUTED_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid, nproc, port, mps_path, nnz = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    int(sys.argv[5]),
+)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+assert jax.device_count() == 4, jax.device_count()
+import dataclasses
+import numpy as np
+from firstorderlp_tpu.parallel.mesh import solver_mesh
+from firstorderlp_tpu.parallel.shard_ingest import (
+    host_sharded_routed_optimize, mps_row_shard_spec,
+)
+from utils import pdhg_params, optimality_criteria
+
+spec = mps_row_shard_spec(mps_path)
+loaded = []
+orig_loader = spec.row_loader
+ranges = []
+def counting_loader(lo, hi):
+    out = orig_loader(lo, hi)
+    loaded.append(len(out[2]))
+    ranges.append((lo, hi))
+    return out
+spec.row_loader = counting_loader
+params = dataclasses.replace(
+    pdhg_params(
+        optimality_criteria(1e-5), ruiz_iterations=10,
+        pock_chambolle_alpha=1.0,
+    ),
+    dtype="float32", matrix_format="routed",
+)
+# 2 processes x 2 local devices -> (2, 2) mesh: each process owns one
+# ROW of the block grid, so each loads exactly one row block.
+mesh = solver_mesh(2, 2)
+out = host_sharded_routed_optimize(params, spec, mesh)
+print(
+    "RESULT", out.termination_string,
+    repr(np.round(np.asarray(out.primal_solution[:5]), 4).tolist()),
+)
+print("LOADED", sum(loaded))
+print("RANGES", repr(ranges))
+"""
+
+
+def test_two_process_host_sharded_routed(tmp_path):
+    """Two processes x two devices on a (2, 2) ('dual','primal') mesh:
+    each process loads ONLY its row block (together they partition the
+    matrix exactly - no host ever materializes the full matrix), builds
+    only its local (d, p) tile plans, and both report the identical
+    OPTIMAL solution through the block-routed compute path (round-3
+    verdict item 3's done-condition)."""
+    from firstorderlp_tpu.io.mps_writer import write_mps
+
+    problem = _random_lp(m=160, n=100, k_eq=32, seed=9)
+    nnz = problem.constraint_matrix.nnz
+    mps_path = os.path.join(tmp_path, "dist_routed.mps")
+    write_mps(problem, mps_path)
+    worker = os.path.join(tmp_path, "worker_routed.py")
+    with open(worker, "w") as f:
+        f.write(ROUTED_WORKER)
+    import subprocess
+    import sys as _sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = REPO + os.pathsep + os.path.join(REPO, "tests")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", "9824", mps_path,
+             str(nnz)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("routed shard-ingest workers timed out")
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    results, loaded, ranges = [], [], []
+    for out in outs:
+        rlines = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        llines = [ln for ln in out.splitlines() if ln.startswith("LOADED")]
+        glines = [ln for ln in out.splitlines() if ln.startswith("RANGES")]
+        assert rlines and llines and glines, out[-2000:]
+        results.append(rlines[0])
+        loaded.append(int(llines[0].split()[1]))
+        ranges.append(eval(glines[0][len("RANGES "):]))
+    assert "OPTIMAL" in results[0]
+    assert results[0] == results[1]
+    # each process loaded EXACTLY the entries of its own row blocks of
+    # the (2, 2) grid - nothing more (no host materializes the full
+    # matrix; together the loads partition the nnz). The block split
+    # itself is geometric (rows pad to the routed row_multiple), so the
+    # per-process share is checked against the true row-range nnz, not
+    # a hardcoded fraction.
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(problem.constraint_matrix)
+    row_nnz = np.diff(csr.indptr)
+    for got, rngs in zip(loaded, ranges):
+        expected = sum(
+            int(row_nnz[lo:min(hi, len(row_nnz))].sum())
+            for lo, hi in rngs
+        )
+        assert got == expected, (loaded, ranges, nnz)
+    # disjoint row ranges across processes
+    assert not (
+        set(ranges[0]) & set(ranges[1])
+    ), ranges
+    assert sum(loaded) == nnz, (loaded, nnz)
