@@ -34,10 +34,12 @@ def parse_command_line():
     )
     parser.add_argument(
         "--solver",
-        choices=["highs", "highs-simplex", "highs-ipm"],
+        choices=["highs", "highs-simplex", "highs-ipm", "admm"],
         default="highs",
-        help="scipy/HiGHS method (the reference's scs-* baselines have no "
-        "counterpart in this environment).",
+        help="scipy/HiGHS method, or 'admm': the built-in matrix-free "
+        "OSQP-style ADMM+CG baseline (firstorderlp_tpu.baselines) "
+        "standing in for the reference's scs-indirect rung (SCS itself "
+        "is not installed in this environment).",
     )
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--instance_path", required=True)
@@ -86,57 +88,88 @@ def solve_instance_and_output(args, command_line_invocation=""):
     # Standard form: A[:k] x = b[:k], A[k:] x >= b[k:], l <= x <= u.
     a = sp.csr_matrix(lp.constraint_matrix)
     k = lp.num_equalities
-    a_eq, b_eq = a[:k], lp.right_hand_side[:k]
-    a_ub = -a[k:]
-    b_ub = -lp.right_hand_side[k:]
-    bounds = list(zip(lp.variable_lower_bound, lp.variable_upper_bound))
-
-    from scipy.optimize import linprog
-
-    options = {"presolve": True}
-    if args.time_sec_limit is not None:
-        options["time_limit"] = args.time_sec_limit
-    if args.iteration_limit is not None:
-        options["maxiter"] = args.iteration_limit
-
-    t0 = time.time()
-    result = linprog(
-        c=lp.objective_vector,
-        A_ub=a_ub if a_ub.shape[0] else None,
-        b_ub=b_ub if len(b_ub) else None,
-        A_eq=a_eq if a_eq.shape[0] else None,
-        b_eq=b_eq if len(b_eq) else None,
-        bounds=bounds,
-        method=_SCIPY_METHOD[args.solver],
-        options=options,
-    )
-    running_time = time.time() - t0
-
-    status_to_reason = {
-        0: TerminationReason.TERMINATION_REASON_OPTIMAL,
-        1: TerminationReason.TERMINATION_REASON_ITERATION_LIMIT,
-        2: TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE,
-        3: TerminationReason.TERMINATION_REASON_DUAL_INFEASIBLE,
-        4: TerminationReason.TERMINATION_REASON_NUMERICAL_ERROR,
-    }
-    reason = status_to_reason.get(
-        result.status, TerminationReason.TERMINATION_REASON_OTHER
-    )
-
     n = lp.num_variables
     m = lp.num_constraints
-    primal = np.asarray(result.x) if result.x is not None else np.zeros(n)
-    # scipy duals: eqlin/ineqlin marginals are d(obj)/d(rhs) for the
-    # scipy-form constraints. Our standard form wants y with
-    # L = c'x - y'(Ax - b), so dV/db = +y on equality rows. Inequalities
-    # are handed to scipy negated (A_ub = -A, b_ub = -b), so
-    # dV/db = -dV/d(b_ub), i.e. y_ineq = -ineqlin.marginals (and the
-    # <=-row marginals are <= 0, making y_ineq >= 0 as required).
-    dual = np.zeros(m)
-    if getattr(result, "eqlin", None) is not None and k > 0:
-        dual[:k] = np.asarray(result.eqlin.marginals)
-    if getattr(result, "ineqlin", None) is not None and m - k > 0:
-        dual[k:] = -np.asarray(result.ineqlin.marginals)
+
+    if args.solver == "admm":
+        from firstorderlp_tpu.baselines import admm_solve
+
+        res = admm_solve(
+            lp,
+            tolerance=args.tolerance,
+            time_sec_limit=args.time_sec_limit,
+            iteration_limit=args.iteration_limit or 10**7,
+        )
+        running_time = res.solve_time_sec
+        reason = res.termination_reason
+        primal = res.primal_solution
+        dual = res.dual_solution
+        iteration_count = res.iteration_count
+        cumulative_kkt_passes = res.cumulative_kkt_passes
+    else:
+        a_eq, b_eq = a[:k], lp.right_hand_side[:k]
+        a_ub = -a[k:]
+        b_ub = -lp.right_hand_side[k:]
+        bounds = list(
+            zip(lp.variable_lower_bound, lp.variable_upper_bound)
+        )
+
+        from scipy.optimize import linprog
+
+        options = {"presolve": True}
+        if args.time_sec_limit is not None:
+            options["time_limit"] = args.time_sec_limit
+        if args.iteration_limit is not None:
+            options["maxiter"] = args.iteration_limit
+
+        t0 = time.time()
+        result = linprog(
+            c=lp.objective_vector,
+            A_ub=a_ub if a_ub.shape[0] else None,
+            b_ub=b_ub if len(b_ub) else None,
+            A_eq=a_eq if a_eq.shape[0] else None,
+            b_eq=b_eq if len(b_eq) else None,
+            bounds=bounds,
+            method=_SCIPY_METHOD[args.solver],
+            options=options,
+        )
+        running_time = time.time() - t0
+
+        status_to_reason = {
+            0: TerminationReason.TERMINATION_REASON_OPTIMAL,
+            1: TerminationReason.TERMINATION_REASON_ITERATION_LIMIT,
+            2: TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE,
+            3: TerminationReason.TERMINATION_REASON_DUAL_INFEASIBLE,
+            4: TerminationReason.TERMINATION_REASON_NUMERICAL_ERROR,
+        }
+        reason = status_to_reason.get(
+            result.status, TerminationReason.TERMINATION_REASON_OTHER
+        )
+
+        primal = (
+            np.asarray(result.x) if result.x is not None else np.zeros(n)
+        )
+        # scipy duals: eqlin/ineqlin marginals are d(obj)/d(rhs) for the
+        # scipy-form constraints. Our standard form wants y with
+        # L = c'x - y'(Ax - b), so dV/db = +y on equality rows.
+        # Inequalities are handed to scipy negated (A_ub = -A,
+        # b_ub = -b), so dV/db = -dV/d(b_ub), i.e. y_ineq =
+        # -ineqlin.marginals (and the <=-row marginals are <= 0, making
+        # y_ineq >= 0 as required).
+        dual = np.zeros(m)
+        if getattr(result, "eqlin", None) is not None and k > 0:
+            dual[:k] = np.asarray(result.eqlin.marginals)
+        if getattr(result, "ineqlin", None) is not None and m - k > 0:
+            dual[k:] = -np.asarray(result.ineqlin.marginals)
+        iteration_count = int(getattr(result, "nit", 0) or 0)
+        # KKT-pass estimate so baseline rows participate in KKT-budget
+        # curves. The reference derives this only for SCS (ADMM iters x
+        # (1 + avg CG iters), solve_lp_external.jl:171-184) and leaves
+        # NaN for HiGHS. HiGHS exposes only `nit`; each simplex/IPM
+        # iteration touches the constraint matrix at least once
+        # (FTRAN/BTRAN or a residual evaluation), so we record the
+        # documented lower bound of one KKT matrix pass per iteration.
+        cumulative_kkt_passes = float(iteration_count)
 
     # Apples-to-apples residuals: evaluate OUR convergence information on
     # the unscaled problem with the external solution (reference l.193-208).
@@ -168,15 +201,6 @@ def solve_instance_and_output(args, command_line_invocation=""):
     )
     import jax
 
-    iteration_count = int(getattr(result, "nit", 0) or 0)
-    # KKT-pass estimate so baseline rows participate in KKT-budget
-    # curves. The reference derives this only for SCS (ADMM iters x
-    # (1 + avg CG iters), solve_lp_external.jl:171-184) and leaves NaN
-    # for HiGHS. HiGHS exposes only `nit`; each simplex/IPM iteration
-    # touches the constraint matrix at least once (FTRAN/BTRAN or a
-    # residual evaluation), so we record the documented lower bound of
-    # one KKT matrix pass per iteration.
-    cumulative_kkt_passes = float(iteration_count)
     stats = to_host_stats(
         jax.tree_util.tree_map(float, conv),
         jax.tree_util.tree_map(float, infeas),
