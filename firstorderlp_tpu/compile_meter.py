@@ -58,14 +58,26 @@ def compile_seconds() -> float:
         return _TOTALS["backend_compile"] + _TOTALS["trace_and_lower"]
 
 
+def backend_compile_seconds() -> float:
+    """Backend (true XLA) compile seconds only - zero on persistent
+    cache hits, unlike the trace/lower component every process pays
+    once per distinct program regardless of the cache."""
+    with _LOCK:
+        return _TOTALS["backend_compile"]
+
+
 class CompileWindow:
     """Context manager measuring compile seconds inside a phase."""
 
     def __enter__(self):
         install()
         self._start = compile_seconds()
+        self._start_backend = backend_compile_seconds()
         return self
 
     def __exit__(self, *exc):
         self.seconds = compile_seconds() - self._start
+        self.backend_seconds = (
+            backend_compile_seconds() - self._start_backend
+        )
         return False
