@@ -458,6 +458,33 @@ def main():
         exps = {k: v for k, v in exps.items() if k in keep}
     datasets = []
     tpu_rows = []
+    timing_path = os.path.join(args.out, "tpu_timing.csv")
+    if args.tpu and os.path.exists(timing_path):
+        # resume: keep rows of instances whose summaries already exist
+        # (the per-solve rewrite below makes the CSV kill-safe)
+        import csv as _csv
+
+        with open(timing_path, newline="") as f:
+            for row in _csv.DictReader(f):
+                for key in row:
+                    if key not in ("experiment", "instance"):
+                        try:
+                            row[key] = (
+                                row[key] == "True"
+                                if row[key] in ("True", "False")
+                                else float(row[key])
+                            )
+                        except ValueError:
+                            pass
+                tpu_rows.append(row)
+
+    def write_tpu_timing():
+        import csv as _csv
+
+        with open(timing_path, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(tpu_rows[0]))
+            w.writeheader()
+            w.writerows(tpu_rows)
     for label, (params, tol, presolve) in exps.items():
         logs_dir = os.path.join(args.out, "logs", label)
         os.makedirs(logs_dir, exist_ok=True)
@@ -515,6 +542,7 @@ def main():
                     tpu_rows.append(
                         {"experiment": label, "instance": name, **extra}
                     )
+                    write_tpu_timing()
                     print(
                         f"[{label}] {name}: "
                         f"{output.termination_string} "
@@ -540,13 +568,7 @@ def main():
                 print(f"[{label}] {name}: ERROR {exc}", flush=True)
 
     if args.tpu and tpu_rows:
-        import csv as _csv
-
-        timing_path = os.path.join(args.out, "tpu_timing.csv")
-        with open(timing_path, "w", newline="") as f:
-            w = _csv.DictWriter(f, fieldnames=list(tpu_rows[0]))
-            w.writeheader()
-            w.writerows(tpu_rows)
+        write_tpu_timing()
         agg_compile = sum(
             r["compile_sec"] + r["ingest_compile_sec"] for r in tpu_rows
         )

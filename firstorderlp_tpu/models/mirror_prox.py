@@ -625,6 +625,7 @@ def optimize(
     prepared: "PreparedMpProblem | None" = None,
     _placement=None,
     _shard_plan=None,
+    _elapsed_offset: float = 0.0,
 ) -> SaddlePointOutput:
     """Solves a QP with saddle-point mirror prox
     (reference optimize, mirror_prox.jl:610-919).
@@ -633,6 +634,8 @@ def optimize(
     per-call rescale + device transfer).
     `_placement`: see pdhg.optimize - mesh-sharding hook for pytrees.
     `_shard_plan`: see pdhg.optimize - mesh-partitioned constraint op.
+    `_elapsed_offset`: see pdhg.optimize - pre-charges the time-limit
+    clock for refinement sub-solves.
     """
     validate_termination_criteria(params.termination_criteria)
     if prepared is None:
@@ -664,7 +667,7 @@ def optimize(
         from ..checkpoint import problem_fingerprint
 
         problem_fp = problem_fingerprint(original_problem)
-    elapsed_offset = 0.0
+    elapsed_offset = float(_elapsed_offset)
     if params.resume_from_checkpoint:
         from ..checkpoint import load_state
 

@@ -956,6 +956,7 @@ def optimize(
     _placement=None,
     prepared: "PreparedProblem | None" = None,
     _shard_plan=None,
+    _elapsed_offset: float = 0.0,
 ) -> SaddlePointOutput:
     """Solves a QP with PDHG (reference optimize, pdhg.jl:769-1049).
 
@@ -965,6 +966,10 @@ def optimize(
     `prepared` (from prepare_problem on the SAME problem and params)
     skips ingest. `_shard_plan` (parallel.sharded) builds the constraint
     operator block-partitioned over the plan's mesh at ingest.
+    `_elapsed_offset` pre-charges the time-limit clock (refine.py: a
+    sub-solve's budget is what REMAINS of the caller's declared
+    time_sec_limit, without baking a per-call limit into the static
+    criteria and forcing a recompile).
     """
     validate_termination_criteria(params.termination_criteria)
     if params.primal_importance <= 0 or not np.isfinite(
@@ -985,7 +990,7 @@ def optimize(
 
         problem_fp = problem_fingerprint(original_problem)
 
-    elapsed_offset = 0.0
+    elapsed_offset = float(_elapsed_offset)
     if params.resume_from_checkpoint:
         from ..checkpoint import load_state
 

@@ -76,12 +76,18 @@ def _prepare(params, problem, warm_start=None, _reuse=None):
     )
 
 
-def _optimize(params, problem, prepared):
+def _optimize(params, problem, prepared, elapsed_offset=0.0):
     if _is_mp_params(params):
         from .models import mirror_prox as _mp
 
-        return _mp.optimize(params, problem, prepared=prepared)
-    return _pdhg.optimize(params, problem, prepared=prepared)
+        return _mp.optimize(
+            params, problem, prepared=prepared,
+            _elapsed_offset=elapsed_offset,
+        )
+    return _pdhg.optimize(
+        params, problem, prepared=prepared,
+        _elapsed_offset=elapsed_offset,
+    )
 
 
 def _phase1_refinable(out) -> bool:
@@ -128,7 +134,12 @@ def optimize_split_precision(
     """Solves `problem` to params' tolerances with the two-phase scheme.
 
     `prepared` optionally skips phase-1 ingest (must come from
-    prepare_problem on the phase-1 params, see phase1_params)."""
+    prepare_problem on the phase-1 params, see phase1_params). The
+    caller's time_sec_limit is a GLOBAL wall budget across both phases
+    (see optimize_iterative_refinement)."""
+    import time as _time
+
+    t_begin = _time.time()
     p1 = phase1_params(params, switch_tolerance)
     if prepared is None:
         prepared = _prepare(p1, problem)
@@ -147,6 +158,20 @@ def optimize_split_precision(
         matrix_format=_tail_format(params),
     )
     remaining = crit.iteration_limit - out1.iteration_count
+    if _time.time() - t_begin >= crit.time_sec_limit:
+        if (
+            out1.termination_reason
+            == TerminationReason.TERMINATION_REASON_OPTIMAL
+            and p1.termination_criteria != crit
+        ):
+            return dataclasses.replace(
+                out1,
+                termination_reason=(
+                    TerminationReason.TERMINATION_REASON_TIME_LIMIT
+                ),
+                termination_string="TIME_LIMIT",
+            )
+        return out1
     if remaining <= 0:
         # Phase 1 exhausted the caller's whole budget. Its OPTIMAL label
         # certifies only the RELAXED switch tolerance, not the caller's;
@@ -177,12 +202,13 @@ def optimize_split_precision(
         warm_start=(out1.primal_solution, out1.dual_solution),
         _reuse=prepared,
     )
-    out2 = _optimize(p2, problem, prep2)
+    off_tail = _time.time() - t_begin
+    out2 = _optimize(p2, problem, prep2, elapsed_offset=off_tail)
 
     kkt1 = last1.cumulative_kkt_matrix_passes
     t1 = last1.cumulative_time_sec
     stats = list(out1.iteration_stats) + _offset_stats(
-        out2.iteration_stats, out1.iteration_count, kkt1, t1
+        out2.iteration_stats, out1.iteration_count, kkt1, t1 - off_tail
     )
     return SaddlePointOutput(
         primal_solution=np.asarray(out2.primal_solution),
@@ -516,7 +542,17 @@ def optimize_iterative_refinement(
     No reference counterpart (the reference is pure f64); the technique
     is LP iterative refinement (Gleixner et al.) adapted to the
     primal-dual saddle point with active-set promotion for the dual
-    cone shift. Returns (output, used_fallback)."""
+    cone shift. Returns (output, used_fallback).
+
+    The caller's time_sec_limit is a GLOBAL wall budget: every
+    sub-solve and the f64 tail are pre-charged with the time already
+    spent (_elapsed_offset), so the whole pipeline - not each stage -
+    respects the declared limit (campaign-protocol requirement;
+    a per-stage budget overshot a 600 s limit to 1181 s on the
+    badly_scaled family)."""
+    import time as _time
+
+    t_begin = _time.time()
     p1 = phase1_params(params, switch_tolerance)
     if prepared is None:
         prepared = _prepare(p1, problem)
@@ -646,10 +682,18 @@ def optimize_iterative_refinement(
                 iteration_limit=min(int(crit.iteration_limit), 10_000),
             ),
         )
+        # global wall budget: no new sub-solve once the caller's
+        # declared time limit is spent (the offset below makes a
+        # STARTED sub-solve stop at the global limit, too).
+        if _time.time() - t_begin >= crit.time_sec_limit:
+            break
         prep_shift = _prepare_shifted_fast(
             prepared, sub_params, c_hat, b_hat, lo_hat, hi_hat, eq_mask
         )
-        sub = _optimize(sub_params, problem, prep_shift)
+        off_sub = _time.time() - t_begin
+        sub = _optimize(
+            sub_params, problem, prep_shift, elapsed_offset=off_sub
+        )
         # NUMERICAL_ERROR on the shifted solve usually means movement
         # hit zero at f32 exactness, and a capped (ITERATION_LIMIT)
         # solve still carries a partial correction - both are applied
@@ -677,7 +721,12 @@ def optimize_iterative_refinement(
         total_iters += sub.iteration_count
         if sub.iteration_stats:
             kkt += sub.iteration_stats[-1].cumulative_kkt_matrix_passes
-            t_accum += sub.iteration_stats[-1].cumulative_time_sec
+            # the sub-solve's clock was pre-charged with off_sub; only
+            # its own share joins the accumulated stats time
+            t_accum += max(
+                0.0,
+                sub.iteration_stats[-1].cumulative_time_sec - off_sub,
+            )
 
     # certification failed: honest f64 tail warm-started from the best
     # point so far (no phase-1 rerun; reuses the phase-1 f64 bundle).
@@ -687,15 +736,23 @@ def optimize_iterative_refinement(
     if np.isfinite(best_res):
         x, y = best_x, best_y
     remaining = int(crit.iteration_limit) - total_iters
-    if remaining <= 0:
+    time_left = crit.time_sec_limit - (_time.time() - t_begin)
+    if remaining <= 0 or time_left <= 0:
+        reason = (
+            TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+            if remaining <= 0
+            else TerminationReason.TERMINATION_REASON_TIME_LIMIT
+        )
         return (
             SaddlePointOutput(
                 primal_solution=x,
                 dual_solution=y,
-                termination_reason=(
-                    TerminationReason.TERMINATION_REASON_ITERATION_LIMIT
+                termination_reason=reason,
+                termination_string=(
+                    "ITERATION_LIMIT"
+                    if remaining <= 0
+                    else "TIME_LIMIT"
                 ),
-                termination_string="ITERATION_LIMIT",
                 iteration_count=total_iters,
                 iteration_stats=stats_tail,
             ),
@@ -711,9 +768,10 @@ def optimize_iterative_refinement(
         ),
     )
     prep2 = _prepare(p2, problem, warm_start=(x, y), _reuse=prepared)
-    out2 = _optimize(p2, problem, prep2)
+    off_tail = _time.time() - t_begin
+    out2 = _optimize(p2, problem, prep2, elapsed_offset=off_tail)
     stats = stats_tail + _offset_stats(
-        out2.iteration_stats, total_iters, kkt, t_accum
+        out2.iteration_stats, total_iters, kkt, t_accum - off_tail
     )
     return (
         SaddlePointOutput(
