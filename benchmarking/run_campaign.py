@@ -481,10 +481,16 @@ def main():
     def write_tpu_timing():
         import csv as _csv
 
+        # dedupe by (experiment, instance), last solve wins (a resumed
+        # re-measure replaces the stale row)
+        dedup = {}
+        for r in tpu_rows:
+            dedup[(r["experiment"], r["instance"])] = r
+        rows = list(dedup.values())
         with open(timing_path, "w", newline="") as f:
-            w = _csv.DictWriter(f, fieldnames=list(tpu_rows[0]))
+            w = _csv.DictWriter(f, fieldnames=list(rows[0]))
             w.writeheader()
-            w.writerows(tpu_rows)
+            w.writerows(rows)
     for label, (params, tol, presolve) in exps.items():
         logs_dir = os.path.join(args.out, "logs", label)
         os.makedirs(logs_dir, exist_ok=True)

@@ -736,6 +736,13 @@ def optimize_iterative_refinement(
     if np.isfinite(best_res):
         x, y = best_x, best_y
     remaining = int(crit.iteration_limit) - total_iters
+    # Quantize DOWN to a power of two: criteria are static config, so a
+    # per-instance leftover budget would bake a distinct tail program
+    # per instance (measured 162 s recompile per instance in the same
+    # shape bucket). Rounding down never overruns the declared budget;
+    # it forfeits at most half the leftover.
+    if remaining > 0:
+        remaining = 1 << (remaining.bit_length() - 1)
     time_left = crit.time_sec_limit - (_time.time() - t_begin)
     if remaining <= 0 or time_left <= 0:
         reason = (
