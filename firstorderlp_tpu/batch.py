@@ -625,34 +625,46 @@ def _finish_fleet_fast(
     b = len(originals)
     m, n = pat.shape
 
-    id_op = _ell_value_positions(pat)
-    # numpy auxiliary index data, shipped once as jit arguments (not
-    # baked into the HLO as constants)
-    aux = {
-        "rows": np.repeat(
-            np.arange(m, dtype=np.int32), np.diff(pat.indptr)
-        ),
-        "cols": pat.indices.astype(np.int32),
-        "id_planes": {
-            half: [
-                np.asarray(bk.vals).astype(np.int32).reshape(-1)
-                for bk in getattr(id_op, half).buckets
-            ]
-            for half in ("fwd", "bwd")
-        },
-        "ell_cols": {
-            half: [
-                np.asarray(bk.cols)
-                for bk in getattr(id_op, half).buckets
-            ]
-            for half in ("fwd", "bwd")
-        },
-        "inv_perm": {
-            half: np.asarray(getattr(id_op, half).inv_perm)
-            for half in ("fwd", "bwd")
-        },
-        "is_equality": np.arange(m) < k_eq,
-    }
+    # The index-plane pytree (aux) is a pure function of (pat, k_eq) -
+    # params- and dtype-independent - so warm rebuilds through a
+    # caller-owned jit_cache (e.g. a FleetSpec) skip both the host ELL
+    # plan construction and the host->device transfer of the planes: the
+    # cached copy is device-committed, and jit arguments already on
+    # device are not re-shipped (the tunnel made the re-transfer + plan
+    # rebuild the dominant warm-ingest cost).
+    aux = jit_cache.get("aux") if jit_cache is not None else None
+    if aux is None:
+        id_op = _ell_value_positions(pat)
+        # numpy auxiliary index data, shipped once as jit arguments (not
+        # baked into the HLO as constants)
+        aux = {
+            "rows": np.repeat(
+                np.arange(m, dtype=np.int32), np.diff(pat.indptr)
+            ),
+            "cols": pat.indices.astype(np.int32),
+            "id_planes": {
+                half: [
+                    np.asarray(bk.vals).astype(np.int32).reshape(-1)
+                    for bk in getattr(id_op, half).buckets
+                ]
+                for half in ("fwd", "bwd")
+            },
+            "ell_cols": {
+                half: [
+                    np.asarray(bk.cols)
+                    for bk in getattr(id_op, half).buckets
+                ]
+                for half in ("fwd", "bwd")
+            },
+            "inv_perm": {
+                half: np.asarray(getattr(id_op, half).inv_perm)
+                for half in ("fwd", "bwd")
+            },
+            "is_equality": np.arange(m) < k_eq,
+        }
+        if jit_cache is not None:
+            aux = jax.device_put(aux)
+            jit_cache["aux"] = aux
 
     class _ShimScaled:
         num_variables = n
