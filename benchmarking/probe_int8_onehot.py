@@ -14,14 +14,19 @@ requires per-block max-abs scaling plus 3 limbs for 24 mantissa bits -
 and the limb build (scale, round, subtract) is VPU work of the same
 order as the iota-compares the one-hot build already pays.
 
-This probe measures, at the kernel's real group shapes on the chip:
-  a) 3x bf16 dot_general (the current scheme),
-  b) 2x and 3x int8-limb dot_general (int8 one-hots, shared-scale
-     limbs, int32 accum) including the quantize cost,
-  c) the one-hot BUILD alone (iota-compare -> bf16 vs int8).
+Methodology (the first version of this probe was void): on the
+tunneled backend only value FETCHES are real, and a single fetch costs
+~25-30 ms RTT - at 1000 reps that is 28 us/rep of pure RTT, larger
+than every kernel being measured. This version (a) measures the
+empty-loop floor (RTT + per-iteration XLA while overhead) and
+subtracts it, (b) runs 20k reps so the floor is < 1.5 us/rep, and
+(c) defeats XLA loop-invariant code motion by perturbing the index
+planes with a compile-opaque scalar (`where(i < 0, ...)`), since
+hoisted one-hot builds measure as free.
 
 Usage: python benchmarking/probe_int8_onehot.py  (real TPU)
-Prints one line per variant: ms per 1000 group-ops + max rel error.
+Prints one line per variant: us per group-op (floor-subtracted) + max
+rel error vs an f64 host reference.
 """
 
 import time
@@ -33,16 +38,15 @@ from jax import lax
 
 HR = 32  # one-hot row pages (hr)
 K = 4096  # group width: group_rows * 128
-REPS = 1000
+REPS = 20_000
+
+DN = (((1,), (1,)), ((), ()))
 
 
 def _onehots(lo, hi, dt):
     o_lo = (lax.broadcasted_iota(jnp.int32, (128, K), 0) == lo).astype(dt)
     o_hi = (lax.broadcasted_iota(jnp.int32, (HR, K), 0) == hi).astype(dt)
     return o_lo, o_hi
-
-
-DN = (((1,), (1,)), ((), ()))
 
 
 def bf16_3pass(p, lo, hi):
@@ -71,7 +75,7 @@ def int8_limbs(p, lo, hi, nlimbs):
     scale = jnp.where(scale > 0, scale, 1.0)
     acc = jnp.zeros((HR, 128), jnp.float32)
     resid = p
-    for limb in range(nlimbs):
+    for _ in range(nlimbs):
         q = jnp.clip(jnp.round(resid / scale), -127, 127)
         resid = resid - q * scale
         qi = q.astype(jnp.int8)
@@ -87,37 +91,73 @@ def onehot_build_only(p, lo, hi, dt):
     o_lo, o_hi = _onehots(lo, hi, dt)
     # touch both so the build isn't dead-code-eliminated
     return (
-        o_lo.astype(jnp.float32).sum()
+        jnp.zeros((HR, 128), jnp.float32)
+        + o_lo.astype(jnp.float32).sum()
         + o_hi.astype(jnp.float32).sum()
         + p.sum()
     )
 
 
-def timeit(name, fn, p, lo, hi, ref=None):
+def dots_only_bf16(p, lo, hi, prebuilt):
+    """3 bf16 dots with PRE-BUILT one-hots (hoisted out of the loop):
+    isolates the MXU cost from the build cost."""
+    o_lo, o_hi = prebuilt
+    p_hi = p.astype(jnp.bfloat16)
+    r1 = p - p_hi.astype(jnp.float32)
+    p_mid = r1.astype(jnp.bfloat16)
+    p_lo = (r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = lax.dot_general(
+        o_hi * p_hi, o_lo, DN, preferred_element_type=jnp.float32
+    )
+    acc += lax.dot_general(
+        o_hi * p_mid, o_lo, DN, preferred_element_type=jnp.float32
+    )
+    return acc + lax.dot_general(
+        o_hi * p_lo, o_lo, DN, preferred_element_type=jnp.float32
+    )
+
+
+_FLOOR_US = None  # empty-loop floor, us/rep (RTT + while overhead)
+
+
+def timeit(name, fn, p, lo, hi, ref=None, floor_is_self=False):
+    global _FLOOR_US
+
     @jax.jit
     def loop(p, lo, hi):
         def body(i, acc):
-            out = fn(p + 1e-9 * i, lo, hi)
-            return acc + (
-                out if isinstance(out, jax.Array) and out.ndim == 2
-                else jnp.zeros((HR, 128)) + out
-            )
+            # compile-opaque perturbation: XLA cannot prove i >= 0 for
+            # a while-loop carry, so the index planes stay loop-variant
+            # and the one-hot builds cannot be hoisted. bump==0 always,
+            # so results (and the error check) are unaffected.
+            bump = jnp.where(i < 0, 1, 0)
+            out = fn(p + 1e-12 * i, lo + bump, hi + bump)
+            return acc + out
 
         return lax.fori_loop(0, REPS, body, jnp.zeros((HR, 128)))
 
     r = loop(p, lo, hi)
     _ = float(r[0, 0])  # warm (tunnel: only fetches are real)
-    t0 = time.time()
-    r = loop(p, lo, hi)
-    _ = float(r[0, 0])
-    dt_ms = (time.time() - t0) * 1e3
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        r = loop(p, lo, hi)
+        _ = float(r[0, 0])
+        best = min(best, (time.time() - t0) * 1e6 / REPS)
     err = ""
     if ref is not None:
         got = np.asarray(fn(p, lo, hi))
         denom = max(np.max(np.abs(ref)), 1e-30)
         err = f"  max_rel_err={np.max(np.abs(got - ref)) / denom:.2e}"
-    print(f"{name:28s} {dt_ms / REPS * 1e3:8.2f} us/group-op{err}")
-    return dt_ms
+    if floor_is_self:
+        _FLOOR_US = best
+        net = 0.0
+    else:
+        net = best - (_FLOOR_US or 0.0)
+    print(
+        f"{name:28s} {net:8.3f} us/group-op (raw {best:.3f}){err}",
+        flush=True,
+    )
 
 
 def main():
@@ -135,7 +175,12 @@ def main():
         ref[int(hi[0, j]), int(lo[0, j])] += pn[j]
 
     print(f"shapes: p (1,{K}), one-hots ({HR},{K}) x (128,{K}), "
-          f"{REPS} reps")
+          f"{REPS} reps", flush=True)
+    timeit(
+        "empty loop (floor)",
+        lambda p, lo, hi: jnp.zeros((HR, 128), jnp.float32) + p.sum(),
+        p, lo, hi, floor_is_self=True,
+    )
     timeit("bf16 3-pass (current)", bf16_3pass, p, lo, hi, ref)
     timeit("int8 2-limb", lambda *a: int8_limbs(*a, 2), p, lo, hi, ref)
     timeit("int8 3-limb", lambda *a: int8_limbs(*a, 3), p, lo, hi, ref)
@@ -148,6 +193,12 @@ def main():
         "one-hot build only (int8)",
         lambda p, lo, hi: onehot_build_only(p, lo, hi, jnp.int8),
         p, lo, hi,
+    )
+    prebuilt = _onehots(lo, hi, jnp.bfloat16)
+    timeit(
+        "3 bf16 dots (prebuilt 1-hots)",
+        lambda p, lo, hi: dots_only_bf16(p, lo, hi, prebuilt),
+        p, lo, hi, ref,
     )
 
 

@@ -632,7 +632,14 @@ def _finish_fleet_fast(
     # cached copy is device-committed, and jit arguments already on
     # device are not re-shipped (the tunnel made the re-transfer + plan
     # rebuild the dominant warm-ingest cost).
-    aux = jit_cache.get("aux") if jit_cache is not None else None
+    # Cache key guards against a caller mutating/replacing
+    # spec.base_problem after the first build: stale index planes would
+    # silently produce wrong solves, so rebuild when the pattern
+    # fingerprint changes.
+    aux_key = (m, n, int(pat.nnz), int(k_eq))
+    aux = None
+    if jit_cache is not None and jit_cache.get("aux_key") == aux_key:
+        aux = jit_cache.get("aux")
     if aux is None:
         id_op = _ell_value_positions(pat)
         # numpy auxiliary index data, shipped once as jit arguments (not
@@ -665,6 +672,7 @@ def _finish_fleet_fast(
         if jit_cache is not None:
             aux = jax.device_put(aux)
             jit_cache["aux"] = aux
+            jit_cache["aux_key"] = aux_key
 
     class _ShimScaled:
         num_variables = n
