@@ -21,7 +21,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: axon hosts export JAX_PLATFORMS=axon, and a
+# setdefault silently leaves the probe attached to the TPU tunnel
+# (observed: the f64 compile then stalls in the remote-compile path).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

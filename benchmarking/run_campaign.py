@@ -258,6 +258,18 @@ def tpu_experiments(time_limit):
         1e-8,
         True,
     )
+    # Mirror Prox on chip: the second solver under the same protocol
+    # (refine.py dispatches MP phase-1 sub-solves; reference bar:
+    # mirror_prox.jl:623-919 held to termination.jl:33-45).
+    exps["mirror_prox_1e-4_tpu"] = (
+        dataclasses_replace(
+            mp_config(1e-4, time_limit),
+            matrix_format="dense_onchip",
+            stats_matrix_format="coo",
+        ),
+        1e-4,
+        True,
+    )
     return exps
 
 
@@ -274,9 +286,9 @@ def solve_one_tpu(params, problem, presolve, instance_name, out_path):
     + transfer), matching the CPU campaign's optimize_any timing, but
     ingest is reported in the timing CSV."""
     from firstorderlp_tpu.compile_meter import CompileWindow
-    from firstorderlp_tpu.models.pdhg import prepare_problem
     from firstorderlp_tpu.parallel.sharded import pad_problem
     from firstorderlp_tpu.refine import (
+        _prepare as prepare_problem,  # solver-dispatched (PDHG or MP)
         optimize_iterative_refinement,
         phase1_params,
     )
