@@ -608,6 +608,21 @@ def main():
             flush=True,
         )
 
+    # Aggregate over EVERY experiment with logs in --out, not just the
+    # ones this invocation ran: an --only run must not clobber the
+    # combined results.csv with a single-experiment layout.
+    logs_root = os.path.join(args.out, "logs")
+    if os.path.isdir(logs_root):
+        seen = {d["config"]["experiment_label"] for d in datasets}
+        for label in sorted(os.listdir(logs_root)):
+            logs_dir = os.path.join(logs_root, label)
+            if label not in seen and os.path.isdir(logs_dir):
+                datasets.append(
+                    {
+                        "config": {"experiment_label": label},
+                        "logs_directory": logs_dir,
+                    }
+                )
     layout = {"datasets": datasets, "config_labels": ["experiment_label"]}
     layout_path = os.path.join(args.out, "layout.json")
     with open(layout_path, "w") as f:

@@ -461,6 +461,15 @@ def _initial_scalings(scaled_qp, diagonal_scaling: str,
         primal_weight = 1.0
     else:
         raise ValueError(f"Unknown diagonal_scaling: {diagonal_scaling!r}")
+    # Empty rows/columns have zero norm; the proximal step divides by
+    # these scalings (reference mirror_prox.jl:504-533 never sees them
+    # because presolve removes empties, but the TPU campaign's shape
+    # padding ADDS empty rows/cols - pad_problem - and a zero scaling
+    # turns the padded lanes into 0/0 = NaN, which poisons the whole
+    # iterate). The padded lanes are inert (l = u = 0 variables, 0 >= 0
+    # rows), so any positive scaling is exact; use 1.
+    primal = np.where(primal > 0, primal, 1.0)
+    dual = np.where(dual > 0, dual, 1.0)
     return primal, dual, primal_weight
 
 

@@ -219,3 +219,26 @@ def test_prepared_problem_reuse():
             out.dual_solution, plain.dual_solution, atol=1e-12
         )
     assert out1.iteration_count == plain.iteration_count
+
+
+def test_mirror_prox_on_padded_problem():
+    """Shape padding (TPU campaign buckets) adds empty rows/columns;
+    MP's mirror-map scalings must not divide by their zero norms
+    (regression: NaN iterates ran the l1_svm TPU campaign solve to
+    TIME_LIMIT; reference mirror_prox.jl:504-533 never sees empties
+    because presolve removes them)."""
+    import numpy as np
+
+    from firstorderlp_tpu.parallel.sharded import pad_problem
+
+    problem = example_lp()
+    padded, m, n = pad_problem(problem, 8, 8)
+    params = mp_params(optimality_criteria(1e-8), diagonal_scaling="l1")
+    out = optimize(params, padded)
+    assert out.termination_reason == (
+        TerminationReason.TERMINATION_REASON_OPTIMAL
+    )
+    np.testing.assert_allclose(
+        out.primal_solution[:n], [1.0, 0.0, 6.0, 2.0], atol=1e-4
+    )
+    assert np.all(np.isfinite(out.dual_solution))
