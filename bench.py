@@ -123,6 +123,7 @@ def make_mp_params(limit, dtype, fmt="ell"):
         restart_params=p.restart_params,
         dtype=dtype,
         matrix_format=fmt,
+        evaluations_per_dispatch=p.evaluations_per_dispatch,
     )
 
 

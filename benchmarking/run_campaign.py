@@ -140,6 +140,7 @@ def mp_config(tol, time_limit):
         termination_evaluation_frequency=40,
         termination_criteria=criteria(tol, time_limit),
         restart_params=restart_params(),
+        evaluations_per_dispatch=8,
     )
 
 

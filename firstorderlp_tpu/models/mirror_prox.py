@@ -96,6 +96,12 @@ class MirrorProxParameters:
     checkpoint_path: Optional[str] = None
     checkpoint_every_n_dispatches: int = 1
     resume_from_checkpoint: Optional[str] = None
+    # Evaluation blocks chained per device dispatch (same contract as
+    # PdhgParameters.evaluations_per_dispatch): each host round trip
+    # costs ~25-30 ms on the tunneled backend, so chaining k
+    # [evaluate -> steps] segments in one jit cuts dispatch overhead
+    # k-fold; termination still early-exits inside the chain.
+    evaluations_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -395,6 +401,29 @@ _run_segment = functools.partial(
 )(_segment_core)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "num_segments"))
+def _run_segments(bundle: DeviceScaledQp, state: MirrorProxState,
+                  elapsed_time, config: _MpConfig, num_segments: int):
+    """Fuses up to `num_segments` [evaluate -> steps] segments in one
+    dispatch, early-exiting on termination (same shape as
+    pdhg._run_segments). Returns the last EvalResult."""
+    state, result = _segment_core(bundle, state, elapsed_time, config)
+
+    def cond(carry):
+        state, result, k = carry
+        return (result.termination_reason == 0) & (k < num_segments)
+
+    def body(carry):
+        state, _, k = carry
+        state, result = _segment_core(bundle, state, elapsed_time, config)
+        return (state, result, k + 1)
+
+    state, result, _ = jax.lax.while_loop(
+        cond, body, (state, result, jnp.int64(1))
+    )
+    return state, result
+
+
 @jax.jit
 def _final_bound_estimates(bundle, avg_primal, avg_dual, primal_scaling,
                            dual_scaling):
@@ -690,13 +719,23 @@ def optimize(
     iteration_stats = []
     start_time = time.time() - elapsed_offset
     basic_algorithm_time = 0.0
+    evals_per_dispatch = max(1, int(params.evaluations_per_dispatch))
     dispatch_count = 0
     while True:
         elapsed = time.time() - start_time
         segment_start = time.time()
-        state, result = _run_segment(
-            bundle, state, jnp.asarray(elapsed, jnp.float64), config
-        )
+        if evals_per_dispatch == 1:
+            state, result = _run_segment(
+                bundle, state, jnp.asarray(elapsed, jnp.float64), config
+            )
+        else:
+            state, result = _run_segments(
+                bundle,
+                state,
+                jnp.asarray(elapsed, jnp.float64),
+                config,
+                evals_per_dispatch,
+            )
         # Per-dispatch fetch: the reason code only (one leaf = one tunnel
         # round trip) when nothing consumes the per-dispatch stats; the
         # full ~45-leaf pytree costs ~130 ms/dispatch on the axon tunnel

@@ -242,3 +242,26 @@ def test_mirror_prox_on_padded_problem():
         out.primal_solution[:n], [1.0, 0.0, 6.0, 2.0], atol=1e-4
     )
     assert np.all(np.isfinite(out.dual_solution))
+
+
+def test_mirror_prox_chained_dispatch_matches_single():
+    """evaluations_per_dispatch chains [evaluate -> steps] segments in
+    one jit (dispatch-overhead amortization, same contract as
+    PdhgParameters); the solve must be bit-identical to the unchained
+    driver."""
+    import dataclasses
+
+    base = mp_params(optimality_criteria(1e-8), diagonal_scaling="l1")
+    ref = optimize(base, example_lp())
+    chained = optimize(
+        dataclasses.replace(base, evaluations_per_dispatch=4),
+        example_lp(),
+    )
+    assert chained.termination_reason == ref.termination_reason
+    assert chained.iteration_count == ref.iteration_count
+    np.testing.assert_array_equal(
+        chained.primal_solution, ref.primal_solution
+    )
+    np.testing.assert_array_equal(
+        chained.dual_solution, ref.dual_solution
+    )
