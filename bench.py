@@ -70,7 +70,9 @@ def make_params(limit, dtype, evals_per_dispatch=64, fmt="ell"):
         scale_invariant_initial_primal_weight=True,
         verbosity=0,
         record_iteration_stats=False,
-        termination_evaluation_frequency=40,
+        termination_evaluation_frequency=int(
+            os.environ.get("BENCH_EVAL_FREQ", 40)
+        ),
         termination_criteria=TerminationCriteria(
             eps_optimal_absolute=0.0,
             eps_optimal_relative=0.0,

@@ -261,16 +261,18 @@ def tpu_experiments(time_limit):
     )
     # Mirror Prox on chip: the second solver under the same protocol
     # (refine.py dispatches MP phase-1 sub-solves; reference bar:
-    # mirror_prox.jl:623-919 held to termination.jl:33-45).
-    exps["mirror_prox_1e-4_tpu"] = (
-        dataclasses_replace(
-            mp_config(1e-4, time_limit),
-            matrix_format="dense_onchip",
-            stats_matrix_format="coo",
-        ),
-        1e-4,
-        True,
-    )
+    # mirror_prox.jl:623-919 held to termination.jl:33-45), at both
+    # tolerances like the CPU campaign.
+    for tol, tag in ((1e-4, "1e-4"), (1e-8, "1e-8")):
+        exps[f"mirror_prox_{tag}_tpu"] = (
+            dataclasses_replace(
+                mp_config(tol, time_limit),
+                matrix_format="dense_onchip",
+                stats_matrix_format="coo",
+            ),
+            tol,
+            True,
+        )
     return exps
 
 

@@ -20,8 +20,21 @@ continuous across phases in the merged output.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
+import sys as _sys
 
 import numpy as np
+
+# FOLP_REFINE_TRACE=1 prints a per-stage wall-clock breakdown (phase-1,
+# per-round certification + sub-solve, f64 tail) to stderr - the
+# flagship metric's time is split across stages no profiler sees as one
+# program, so this is the practical way to attribute it.
+_TRACE = _os.environ.get("FOLP_REFINE_TRACE", "0") == "1"
+
+
+def _trace(msg: str) -> None:
+    if _TRACE:
+        print(f"# refine: {msg}", file=_sys.stderr, flush=True)
 
 from .models import pdhg as _pdhg
 from .saddle_point import SaddlePointOutput
@@ -557,6 +570,10 @@ def optimize_iterative_refinement(
     if prepared is None:
         prepared = _prepare(p1, problem)
     out1 = _optimize(p1, problem, prepared)
+    _trace(
+        f"phase1 {out1.termination_string} {out1.iteration_count} iters "
+        f"in {_time.time() - t_begin:.2f}s"
+    )
     crit = params.termination_criteria
     if not _phase1_refinable(out1):
         return out1, False
@@ -576,7 +593,12 @@ def optimize_iterative_refinement(
     best_res = np.inf
     best_x, best_y = x, y
     for round_idx in range(max_rounds):
+        t_cert = _time.time()
         ok, conv = _certified(prepared, crit, x, y)
+        _trace(
+            f"round {round_idx} certify {_time.time() - t_cert:.2f}s "
+            f"ok={ok} (t={_time.time() - t_begin:.2f}s)"
+        )
         if ok:
             from .iteration_stats import to_host_stats
             from .solve_log import PointType, RestartChoice
@@ -694,6 +716,12 @@ def optimize_iterative_refinement(
         sub = _optimize(
             sub_params, problem, prep_shift, elapsed_offset=off_sub
         )
+        _trace(
+            f"round {round_idx} sub-solve {sub.termination_string} "
+            f"{sub.iteration_count} iters eps_sub={eps_sub:g} in "
+            f"{_time.time() - t_begin - off_sub:.2f}s "
+            f"(t={_time.time() - t_begin:.2f}s)"
+        )
         # NUMERICAL_ERROR on the shifted solve usually means movement
         # hit zero at f32 exactness, and a capped (ITERATION_LIMIT)
         # solve still carries a partial correction - both are applied
@@ -777,6 +805,11 @@ def optimize_iterative_refinement(
     prep2 = _prepare(p2, problem, warm_start=(x, y), _reuse=prepared)
     off_tail = _time.time() - t_begin
     out2 = _optimize(p2, problem, prep2, elapsed_offset=off_tail)
+    _trace(
+        f"f64 tail {out2.termination_string} {out2.iteration_count} "
+        f"iters in {_time.time() - t_begin - off_tail:.2f}s "
+        f"(t={_time.time() - t_begin:.2f}s)"
+    )
     stats = stats_tail + _offset_stats(
         out2.iteration_stats, total_iters, kkt, t_accum - off_tail
     )
