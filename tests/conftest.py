@@ -36,3 +36,21 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the number of live compiled executables in the process.
+
+    The full suite compiles/loads hundreds of executables; with all of
+    them alive, loading the next large 8-device mesh executable
+    segfaults inside jaxlib (see the cache note above). Dropping the
+    in-memory jit caches between modules keeps the live set small; the
+    persistent cache makes the reloads cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()
