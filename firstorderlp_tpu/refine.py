@@ -67,6 +67,29 @@ _REFINABLE = (
     TerminationReason.TERMINATION_REASON_KKT_MATRIX_PASS_LIMIT,
 )
 
+_INFEASIBLE = (
+    TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE,
+    TerminationReason.TERMINATION_REASON_DUAL_INFEASIBLE,
+)
+
+
+def _phase1_verdict(problem, criteria, out):
+    """(refinable, trust_output) for a phase-1 result.
+
+    An infeasibility declaration from the f32 phase is re-verified on
+    host in f64: confirmed -> trust it (return as final); unconfirmed
+    (an f32 artifact) -> neither final nor refinable-from, but the
+    finite iterate can still seed the honest f64 path."""
+    if out.termination_reason in _INFEASIBLE:
+        if _confirm_infeasible(problem, criteria, out):
+            return False, True
+        finite = bool(
+            np.all(np.isfinite(out.primal_solution))
+            and np.all(np.isfinite(out.dual_solution))
+        )
+        return finite, not finite
+    return _phase1_refinable(out), True
+
 
 def _is_mp_params(params) -> bool:
     from .models.mirror_prox import MirrorProxParameters
@@ -158,7 +181,8 @@ def optimize_split_precision(
         prepared = _prepare(p1, problem)
     out1 = _optimize(p1, problem, prepared)
     crit = params.termination_criteria
-    if not _phase1_refinable(out1):
+    refinable, _ = _phase1_verdict(problem, crit, out1)
+    if not refinable:
         return out1
     last1 = out1.iteration_stats[-1] if out1.iteration_stats else None
     if last1 is None:
@@ -253,7 +277,15 @@ def phase1_params(
     return dataclasses.replace(
         params,
         dtype="float32",
-        stats_dtype="float64",
+        # In-loop stats in f32: the f64 emulated unscaled-stats
+        # evaluation alone cut the 100k-node phase-1 from 677 to 310
+        # it/s (round-5 measurement), and phase-1's only consumer of
+        # the stats is the 1e-6-grade switch decision, safely above the
+        # ~1e-7 f32 residual floor. The 1e-8 bar is enforced by the
+        # driver's HOST f64 certification (host_stats.py) on every
+        # round, and in-loop infeasibility declarations are re-verified
+        # on host in f64 before being returned (_confirm_infeasible).
+        stats_dtype="float32",
         matrix_format=_phase1_format(params),
         termination_criteria=relaxed,
     )
@@ -503,37 +535,57 @@ def _prepare_shifted_fast(prepared, params, c_hat, b_hat, lo, hi,
     )
 
 
-def _certified(prepared, criteria, x, y):
+def _certified(problem, criteria, x, y):
     """Evaluates the TRUE f64 convergence information of (x, y) on the
-    original problem (reusing the phase-1 prepared f64 bundle) and
-    returns (meets_optimality, conv)."""
-    import jax.numpy as jnp
+    original HOST problem and returns (meets_optimality, conv).
 
-    from .iteration_stats import compute_convergence_information
-    from .termination import optimality_criteria_met
+    Host numpy/scipy (host_stats.py) rather than the device stats op:
+    strict f64 (the device path emulates f64 on TPU), and the former
+    eager jnp evaluation cost ~0.3 s per certification in tunnel
+    dispatch round trips vs milliseconds on host."""
+    from .host_stats import (
+        host_convergence_information,
+        host_optimality_met,
+        host_qp_cache,
+    )
 
-    bundle = prepared.bundle
     eps_ratio = (
         criteria.eps_optimal_absolute / criteria.eps_optimal_relative
         if criteria.eps_optimal_relative > 0
         else 1.0
     )
-    conv = compute_convergence_information(
-        bundle.original,
-        bundle.qp_cache,
-        jnp.asarray(x, jnp.float64),
-        jnp.asarray(y, jnp.float64),
-        eps_ratio,
-    )
-    import jax
-
-    conv = jax.device_get(conv)
-    ok = bool(
-        np.asarray(
-            optimality_criteria_met(criteria, conv, bundle.qp_cache)
-        )
-    )
+    conv = host_convergence_information(problem, x, y, eps_ratio)
+    ok = host_optimality_met(criteria, conv, host_qp_cache(problem))
     return ok, conv
+
+
+def _confirm_infeasible(problem, criteria, out) -> bool:
+    """Re-verifies an in-loop infeasibility declaration on host in
+    strict f64 (the in-loop stats are f32 since round 5; a false
+    certificate there must not surface as the final answer). Reference
+    criteria: src/termination.jl:195-227."""
+    from .host_stats import host_infeasibility_information
+
+    infeas = host_infeasibility_information(
+        problem, out.primal_solution, out.dual_solution
+    )
+    if out.termination_reason == (
+        TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
+    ):
+        return bool(
+            infeas.dual_ray_objective > 0.0
+            and infeas.max_dual_ray_infeasibility
+            / infeas.dual_ray_objective
+            <= criteria.eps_primal_infeasible
+        )
+    neg_obj = -infeas.primal_ray_linear_objective
+    return bool(
+        infeas.primal_ray_linear_objective < 0.0
+        and infeas.max_primal_ray_infeasibility / neg_obj
+        <= criteria.eps_dual_infeasible
+        and infeas.primal_ray_quadratic_norm / neg_obj
+        <= criteria.eps_dual_infeasible
+    )
 
 
 def optimize_iterative_refinement(
@@ -575,7 +627,8 @@ def optimize_iterative_refinement(
         f"in {_time.time() - t_begin:.2f}s"
     )
     crit = params.termination_criteria
-    if not _phase1_refinable(out1):
+    refinable, _ = _phase1_verdict(problem, crit, out1)
+    if not refinable:
         return out1, False
 
     x = np.clip(
@@ -594,7 +647,7 @@ def optimize_iterative_refinement(
     best_x, best_y = x, y
     for round_idx in range(max_rounds):
         t_cert = _time.time()
-        ok, conv = _certified(prepared, crit, x, y)
+        ok, conv = _certified(problem, crit, x, y)
         _trace(
             f"round {round_idx} certify {_time.time() - t_cert:.2f}s "
             f"ok={ok} (t={_time.time() - t_begin:.2f}s)"
@@ -603,13 +656,9 @@ def optimize_iterative_refinement(
             from .iteration_stats import to_host_stats
             from .solve_log import PointType, RestartChoice
 
-            import jax
-
             stats = to_host_stats(
                 conv,
-                jax.device_get(
-                    _infeas_info(prepared, x, y)
-                ),
+                _infeas_info(problem, x, y),
                 total_iters,
                 kkt,
                 t_accum,
@@ -826,13 +875,9 @@ def optimize_iterative_refinement(
     )
 
 
-def _infeas_info(prepared, x, y):
-    import jax.numpy as jnp
+def _infeas_info(problem, x, y):
+    """Host f64 infeasibility certificates on the original problem
+    (host_stats.py port of compute_infeasibility_information)."""
+    from .host_stats import host_infeasibility_information
 
-    from .iteration_stats import compute_infeasibility_information
-
-    return compute_infeasibility_information(
-        prepared.bundle.original,
-        jnp.asarray(x, jnp.float64),
-        jnp.asarray(y, jnp.float64),
-    )
+    return host_infeasibility_information(problem, x, y)

@@ -38,7 +38,10 @@ def test_phase1_params_relaxation():
     params = pdhg_params(optimality_criteria(1e-8))
     p1 = phase1_params(params, switch_tolerance=1e-6)
     assert p1.dtype == "float32"
-    assert p1.stats_dtype == "float64"
+    # round 5: in-loop stats are f32 (the f64 emulated eval halved the
+    # phase-1 rate); the 1e-8 bar is enforced by HOST f64 certification
+    # in the refinement driver (host_stats.py).
+    assert p1.stats_dtype == "float32"
     assert p1.termination_criteria.eps_optimal_relative == 1e-6
     # tolerances looser than the switch are preserved
     loose = pdhg_params(optimality_criteria(1e-4))
@@ -187,3 +190,43 @@ def test_mp_iterative_refinement_certifies():
     assert ci.relative_l2_primal_residual < 1e-8
     assert ci.relative_l2_dual_residual < 1e-8
     assert abs(ci.relative_optimality_gap) < 1e-8
+
+
+def test_unconfirmed_f32_infeasibility_is_not_final():
+    """An in-loop infeasibility declaration from the f32 phase must be
+    re-verified on host in f64 (_phase1_verdict): on a feasible problem
+    a spurious certificate is rejected (refinable, untrusted), while a
+    genuine one on an infeasible problem is confirmed."""
+    import numpy as np
+
+    from firstorderlp_tpu.refine import _phase1_verdict
+    from firstorderlp_tpu.saddle_point import SaddlePointOutput
+
+    crit = optimality_criteria(1e-8)
+    feasible = example_lp()
+    n = feasible.constraint_matrix.shape[1]
+    m = feasible.constraint_matrix.shape[0]
+    fake = SaddlePointOutput(
+        primal_solution=np.zeros(n),
+        dual_solution=np.zeros(m),
+        termination_reason=(
+            TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
+        ),
+        termination_string="PRIMAL_INFEASIBLE",
+        iteration_count=40,
+        iteration_stats=[],
+    )
+    refinable, trust = _phase1_verdict(feasible, crit, fake)
+    assert refinable and not trust
+
+    # genuinely primal-infeasible problem: solve it (f32 phase + host
+    # verification) and expect the confirmed certificate to stand
+    from firstorderlp_tpu.refine import optimize_iterative_refinement
+
+    params = pdhg_params(optimality_criteria(1e-8))
+    out, _ = optimize_iterative_refinement(
+        params, example_lp_easy_primal_infeasible()
+    )
+    assert out.termination_reason == (
+        TerminationReason.TERMINATION_REASON_PRIMAL_INFEASIBLE
+    )
